@@ -1,0 +1,101 @@
+"""Static-shape batching with padding + sample weights, and device put.
+
+Replaces the reference's torch ``DataLoader`` + ``DistributedSampler``
+(``src/multivae/trainers/base/base_trainer.py:196-222``). TPU-first design:
+
+- every batch has the *same static shape* (the last partial batch is padded
+  by wrapping around, with ``weights`` zeroed on pads) so the jitted train
+  step never retraces;
+- per-host sharding for multi-host data parallelism: each process iterates
+  only over its slice of the epoch permutation;
+- masks are always materialized (all-ones for complete datasets) so one
+  compiled program serves both complete and incomplete data.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .batch import MultimodalBatch, batch_from_arrays
+from .datasets.base import IncompleteDataset, MultimodalBaseDataset
+
+
+class DataLoader:
+    """Epoch iterator producing ``MultimodalBatch`` pytrees (host numpy).
+
+    Args:
+        dataset: a MultimodalBaseDataset (or Incomplete subclass).
+        batch_size: global batch size (across all processes).
+        shuffle: reshuffle each epoch with a per-epoch seed.
+        seed: base RNG seed for shuffling.
+        drop_last: drop the final partial batch instead of padding it.
+        num_processes / process_index: multi-host sharding of the epoch.
+    """
+
+    def __init__(self, dataset: MultimodalBaseDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = False,
+                 num_processes: int = 1, process_index: int = 0):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_processes = num_processes
+        self.process_index = process_index
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    @property
+    def per_process_batch(self) -> int:
+        if self.batch_size % self.num_processes:
+            raise ValueError(
+                f"Global batch size {self.batch_size} must divide evenly over "
+                f"{self.num_processes} processes"
+            )
+        return self.batch_size // self.num_processes
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def _epoch_permutation(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def __iter__(self) -> Iterator[MultimodalBatch]:
+        perm = self._epoch_permutation()
+        n = len(perm)
+        bs = self.batch_size
+        n_batches = len(self)
+        local = self.per_process_batch
+        for b in range(n_batches):
+            idx = perm[b * bs: (b + 1) * bs]
+            pad = bs - len(idx)
+            if pad:
+                # wrap-around padding; pads carry zero weight
+                idx = np.concatenate([idx, perm[:pad]])
+            # carve out this process's slice of the global batch
+            lo = self.process_index * local
+            local_idx = idx[lo: lo + local]
+            weights = np.ones(bs, dtype=np.float32)
+            if pad:
+                weights[bs - pad:] = 0.0
+            local_w = weights[lo: lo + local]
+            raw = self.dataset.get_batch(local_idx)
+            masks = raw.get("masks", None)
+            yield batch_from_arrays(
+                data=raw["data"],
+                masks=masks,
+                labels=raw.get("labels", None),
+                weights=local_w,
+            )

@@ -1,0 +1,475 @@
+"""BaseMultiVAE: the shared multimodal-VAE API (encode/decode/predict/NLL).
+
+TPU-native counterpart of reference
+``src/multivae/models/base/base_ae_model.py``. The public surface matches
+the reference; internally every compute path is a pure function of
+``(params, batch, rng)`` jitted once per static configuration
+(cond_mod subset, N, flatten...).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, Optional, Union
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...data.batch import MultimodalBatch, as_batch
+from ...nn.default_architectures import BaseDictDecoders, BaseDictEncoders
+from ...ops.dists import set_decoder_dist
+from ...ops.gaussian import rsample_from_gaussian
+from ...utils.model_output import ModelOutput
+from .base_config import BaseMultiVAEConfig
+from .base_model import BaseModel
+from .step import StepInfo
+
+logger = logging.getLogger(__name__)
+
+
+def sum_except_batch(x, batch_ndims: int = 1):
+    """Sum all but the leading ``batch_ndims`` axes (reference's
+    ``.reshape(B, -1).sum(-1)`` idiom)."""
+    return x.reshape(*x.shape[:batch_ndims], -1).sum(-1)
+
+
+class BaseMultiVAE(BaseModel):
+    """Base class for multimodal VAE models.
+
+    Args:
+        model_config: a BaseMultiVAEConfig (or subclass).
+        encoders: dict modality -> Flax encoder module. Defaults to MLP
+            encoders built from ``model_config.input_dims``.
+        decoders: dict modality -> Flax decoder module.
+        seed: RNG seed for parameter init and the internal sampling key.
+    """
+
+    model_name = "BaseMultiVAE"
+
+    def __init__(self, model_config: BaseMultiVAEConfig, encoders: dict = None,
+                 decoders: dict = None, seed: int = 0):
+        super().__init__(model_config, seed=seed)
+
+        self.n_modalities = model_config.n_modalities
+        self.input_dims = model_config.input_dims
+        self.latent_dim = model_config.latent_dim
+        self.multiple_latent_spaces = False
+        self.use_likelihood_rescaling = model_config.uses_likelihood_rescaling
+
+        self._check_input_dims(model_config)
+
+        if encoders is None:
+            if self.input_dims is None:
+                raise AttributeError(
+                    "Please provide encoders or input dims for the modalities "
+                    "in the model_config."
+                )
+            encoders = self.default_encoders(model_config)
+        else:
+            self.model_config.custom_architectures.append("encoders")
+
+        if decoders is None:
+            if self.input_dims is None:
+                raise AttributeError(
+                    "Please provide decoders or input dims for the modalities "
+                    "in the model_config."
+                )
+            decoders = self.default_decoders(model_config)
+        else:
+            self.model_config.custom_architectures.append("decoders")
+
+        self.sanity_check(encoders, decoders)
+        self.encoders = dict(encoders)
+        self.decoders = dict(decoders)
+        self.modalities_name = list(self.decoders.keys())
+
+        self.rescale_factors = self.set_rescale_factors()
+
+        if model_config.decoders_dist is None:
+            model_config.decoders_dist = {k: "normal" for k in self.encoders}
+        if model_config.decoder_dist_params is None:
+            model_config.decoder_dist_params = {}
+        self.set_decoders_dist(
+            model_config.decoders_dist, dict(model_config.decoder_dist_params)
+        )
+
+    # ----------------------------------------------------------- validation
+    def _check_input_dims(self, model_config):
+        if model_config.input_dims is not None:
+            if len(model_config.input_dims.keys()) != model_config.n_modalities:
+                raise AttributeError(
+                    f"The provided number of input_dims "
+                    f"{len(model_config.input_dims)} doesn't match the number "
+                    f"of modalities ({model_config.n_modalities}) in model config"
+                )
+
+    def sanity_check(self, encoders, decoders):
+        """Coherence checks between encoders/decoders and the config.
+
+        Reference: ``base_ae_model.py:154-180``.
+        """
+        if self.n_modalities != len(encoders.keys()):
+            raise AttributeError(
+                f"The provided number of encoders {len(encoders.keys())} "
+                f"doesn't match the number of modalities ({self.n_modalities}) "
+                "in model config"
+            )
+        if self.n_modalities != len(decoders.keys()):
+            raise AttributeError(
+                f"The provided number of decoders {len(decoders.keys())} "
+                f"doesn't match the number of modalities ({self.n_modalities}) "
+                "in model config"
+            )
+        if encoders.keys() != decoders.keys():
+            raise AttributeError(
+                "The names of the modalities in the encoders dict doesn't match "
+                "the names of the modalities in the decoders dict."
+            )
+        for m, enc in encoders.items():
+            if not isinstance(enc, nn.Module):
+                raise AttributeError(
+                    f"For modality {m}, the encoder must be a flax.linen.Module "
+                    f"(got {type(enc)})."
+                )
+        for m, dec in decoders.items():
+            if not isinstance(dec, nn.Module):
+                raise AttributeError(
+                    f"For modality {m}, the decoder must be a flax.linen.Module "
+                    f"(got {type(dec)})."
+                )
+        if self.input_dims is not None:
+            if self.input_dims.keys() != encoders.keys():
+                raise KeyError(
+                    f"The modalities names in model_config.input_dims: "
+                    f"{list(self.input_dims.keys())} do not match the "
+                    f"modalities names in encoders: {list(encoders.keys())}"
+                )
+
+    def set_rescale_factors(self):
+        """Per-modality reconstruction rescaling (``base_ae_model.py:127-152``)."""
+        if self.use_likelihood_rescaling:
+            if self.model_config.rescale_factors is not None:
+                return dict(self.model_config.rescale_factors)
+            if self.input_dims is None:
+                raise AttributeError(
+                    "inputs_dim is None but uses_likelihood_rescaling = True in "
+                    "model_config. Please provide input_dims or rescale_factors."
+                )
+            sizes = {k: float(np.prod(self.input_dims[k])) for k in self.input_dims}
+            max_dim = max(sizes.values())
+            return {k: max_dim / sizes[k] for k in sizes}
+        return {k: 1.0 for k in self.encoders}
+
+    def set_decoders_dist(self, recon_dict, dist_params_dict):
+        """Build per-modality elementwise reconstruction log-prob closures."""
+        self.recon_log_probs = {
+            k: set_decoder_dist(recon_dict[k], dict(dist_params_dict.get(k, {})))
+            for k in recon_dict
+        }
+
+    # ------------------------------------------------------------- defaults
+    def default_encoders(self, model_config) -> dict:
+        return BaseDictEncoders(self.input_dims, model_config.latent_dim)
+
+    def default_decoders(self, model_config) -> dict:
+        return BaseDictDecoders(self.input_dims, model_config.latent_dim)
+
+    # ------------------------------------------------------- initialization
+    def _dummy_input(self, mod: str):
+        dims = None
+        if self.input_dims is not None and mod in self.input_dims:
+            dims = tuple(self.input_dims[mod])
+        else:
+            dims = getattr(self.encoders[mod], "input_dim", None)
+        if dims is None:
+            raise AttributeError(
+                f"Cannot infer the input shape of modality '{mod}' for "
+                "parameter initialization. Provide input_dims in the model "
+                "config or an `input_dim` attribute on the encoder."
+            )
+        return jnp.zeros((1, *dims), jnp.float32)
+
+    def _decoder_input_dim(self, mod: str) -> int:
+        """Latent input size of the decoder for ``mod`` (override for
+        private-latent models)."""
+        return self.latent_dim
+
+    def _init_extra_params(self, rng) -> dict:
+        """Extra learnable arrays (prior params, cluster means...)."""
+        return {}
+
+    def _init_extra_modules(self, rng) -> dict:
+        """Extra network groups: name -> params tree (override)."""
+        return {}
+
+    def init_params(self, rng=None):
+        """Initialize all parameters; stored in ``self.params``."""
+        if rng is None:
+            rng = self.next_rng()
+        keys = jax.random.split(rng, 2 * len(self.encoders) + 2)
+        enc_params, dec_params = {}, {}
+        for i, mod in enumerate(self.encoders):
+            enc_params[mod] = self.encoders[mod].init(
+                keys[2 * i], self._dummy_input(mod)
+            )["params"]
+            dec_params[mod] = self.decoders[mod].init(
+                keys[2 * i + 1], jnp.zeros((1, self._decoder_input_dim(mod)))
+            )["params"]
+        params = {"encoders": enc_params, "decoders": dec_params}
+        params.update(self._init_extra_modules(keys[-2]))
+        extra = self._init_extra_params(keys[-1])
+        if extra:
+            params["model"] = extra
+        self.params = params
+        return params
+
+    def _ensure_params(self):
+        if self.params is None:
+            self.init_params()
+        return self.params
+
+    # -------------------------------------------------------- pure building
+    def encode_mod(self, params, mod: str, x) -> ModelOutput:
+        """Apply modality encoder (pure)."""
+        return self.encoders[mod].apply({"params": params["encoders"][mod]}, x)
+
+    def decode_mod(self, params, mod: str, z):
+        """Apply modality decoder (pure); returns the reconstruction array."""
+        out = self.decoders[mod].apply({"params": params["decoders"][mod]}, z)
+        return out["reconstruction"]
+
+    def recon_log_prob(self, mod: str, recon, target):
+        """Elementwise reconstruction log-prob for a modality."""
+        return self.recon_log_probs[mod](recon, target)
+
+    def stacked_gaussian_params(self, params, batch: MultimodalBatch,
+                                mods=None):
+        """Encode modalities and stack posterior params + availability mask.
+
+        Returns (mus, log_vars, mask) of shapes (M,B,D), (M,B,D), (M,B) —
+        the canonical layout consumed by ``masked_poe``. The Python loop
+        over modalities unrolls at trace time into one fused XLA program.
+        """
+        mods = list(self.encoders.keys()) if mods is None else list(mods)
+        mus, log_vars, masks = [], [], []
+        for m in mods:
+            out = self.encode_mod(params, m, batch.data[m])
+            mus.append(out["embedding"])
+            log_vars.append(out["log_covariance"])
+            masks.append(batch.masks[m])
+        return jnp.stack(mus), jnp.stack(log_vars), jnp.stack(masks)
+
+    # ------------------------------------------------------------ main API
+    def loss_function(self, params, batch: MultimodalBatch, rng,
+                      step: StepInfo) -> ModelOutput:
+        """Pure loss: must return ModelOutput(loss, loss_sum, metrics)."""
+        raise NotImplementedError
+
+    def forward(self, inputs, epoch: int = 1, rng=None, **kwargs) -> ModelOutput:
+        """Stateful convenience wrapper over ``loss_function``.
+
+        Reference signature: ``base_ae_model.py:313-331``.
+        """
+        params = self._ensure_params()
+        batch = as_batch(inputs)
+        if rng is None:
+            rng = self.next_rng()
+        step = StepInfo.create(
+            epoch=epoch,
+            batch_ratio=kwargs.get("batch_ratio", 0.0),
+            dataset_size=kwargs.get("dataset_size", batch.n_samples),
+        )
+        fn = self._jit(("loss_function",), self.loss_function)
+        return fn(params, batch, rng, step)
+
+    def _normalize_cond_mod(self, cond_mod) -> tuple:
+        if isinstance(cond_mod, str):
+            if cond_mod == "all":
+                return tuple(self.encoders.keys())
+            if cond_mod in self.encoders:
+                return (cond_mod,)
+            raise AttributeError(
+                'If cond_mod is a string, it must either be "all" or a '
+                f"modality name. The provided string {cond_mod} is neither."
+            )
+        cond = tuple(cond_mod)
+        for m in cond:
+            if m not in self.encoders:
+                raise AttributeError(f"Unknown modality in cond_mod: {m}")
+        return cond
+
+    def _check_availability(self, inputs, batch: MultimodalBatch, cond_mod,
+                            ignore_incomplete: bool):
+        """Refuse to encode samples missing a conditioning modality.
+
+        Reference: ``base_ae_model.py:205-219``.
+        """
+        if ignore_incomplete or not hasattr(inputs, "masks"):
+            return
+        masks = getattr(inputs, "masks", None)
+        if masks is None:
+            return
+        for m in cond_mod:
+            if m in masks and not np.all(np.asarray(masks[m])):
+                raise AttributeError(
+                    "You tried to encode an incomplete dataset conditioning on "
+                    f"modalities {list(cond_mod)}, but some samples are not "
+                    "available in all those modalities."
+                )
+
+    def _encode_subset(self, params, batch: MultimodalBatch, rng, *,
+                       cond_mod: tuple, N: int, return_mean: bool,
+                       flatten: bool) -> dict:
+        """Model-specific pure encoding; returns {'z': ..., [extras]}."""
+        raise NotImplementedError
+
+    def encode(self, inputs, cond_mod: Union[list, str] = "all", N: int = 1,
+               return_mean: bool = False, flatten: bool = False, rng=None,
+               ignore_incomplete: bool = False, **kwargs) -> ModelOutput:
+        """Sample the posterior conditioned on a subset of modalities.
+
+        Reference: ``base_ae_model.py:182-223``. Returns
+        ModelOutput(z, one_latent_space[, modalities_z]).
+        """
+        params = self._ensure_params()
+        batch = as_batch(inputs)
+        cond = self._normalize_cond_mod(cond_mod)
+        self._check_availability(inputs, batch, cond, ignore_incomplete)
+        if rng is None:
+            rng = self.next_rng()
+        key = ("encode", cond, N, bool(return_mean), bool(flatten))
+        fn = self._jit(
+            key,
+            partial(self._encode_subset, cond_mod=cond, N=N,
+                    return_mean=bool(return_mean), flatten=bool(flatten)),
+        )
+        out = fn(params, batch, rng)
+        result = ModelOutput(
+            z=out["z"], one_latent_space=not self.multiple_latent_spaces
+        )
+        result["cond_mod"] = list(cond)
+        for k, v in out.items():
+            if k != "z":
+                result[k] = v
+        if self.multiple_latent_spaces and "modalities_z" not in result:
+            raise RuntimeError(
+                "Model declares multiple latent spaces but _encode_subset "
+                "returned no 'modalities_z'."
+            )
+        return result
+
+    def _decode_mods(self, params, z, mods: tuple, modalities_z=None) -> dict:
+        outputs = {}
+        for m in mods:
+            if modalities_z is not None:
+                zm = jnp.concatenate([z, modalities_z[m]], axis=-1)
+            else:
+                zm = z
+            outputs[m] = self.decode_mod(params, m, zm)
+        return outputs
+
+    def decode(self, embedding: ModelOutput,
+               modalities: Union[list, str] = "all") -> ModelOutput:
+        """Decode a latent code in the requested modalities.
+
+        Reference: ``base_ae_model.py:225-265``.
+        """
+        params = self._ensure_params()
+        if modalities == "all":
+            mods = tuple(self.decoders.keys())
+        elif isinstance(modalities, str):
+            mods = (modalities,)
+        else:
+            mods = tuple(modalities)
+
+        one_latent_space = embedding.get("one_latent_space", True)
+        z = embedding["z"]
+        modalities_z = None if one_latent_space else embedding["modalities_z"]
+        key = ("decode", mods, bool(one_latent_space))
+        fn = self._jit(
+            key, partial(self._decode_mods, mods=mods)
+        )
+        outputs = fn(params, z, modalities_z=modalities_z)
+        return ModelOutput(**outputs)
+
+    def predict(self, inputs, cond_mod: Union[list, str] = "all",
+                gen_mod: Union[list, str] = "all", N: int = 1,
+                flatten: bool = False, rng=None,
+                ignore_incomplete: bool = False, **kwargs) -> ModelOutput:
+        """Cross-modal generation: encode on cond_mod, decode on gen_mod.
+
+        Reference: ``base_ae_model.py:267-311``.
+        """
+        z = self.encode(
+            inputs, cond_mod, N=N, flatten=True, rng=rng,
+            ignore_incomplete=ignore_incomplete, **kwargs
+        )
+        output = self.decode(z, gen_mod)
+        n_data = z.z.shape[0] // N
+        if not flatten and N > 1:
+            for m in list(output.keys()):
+                output[m] = output[m].reshape(N, n_data, *output[m].shape[1:])
+        return output
+
+    def generate_from_prior(self, n_samples: int, rng=None, **kwargs) -> ModelOutput:
+        """Sample latents from the standard-normal prior.
+
+        Reference: ``base_ae_model.py:379-394``.
+        """
+        if rng is None:
+            rng = self.next_rng()
+        shape = (n_samples, self.latent_dim) if n_samples > 1 else (self.latent_dim,)
+        z = jax.random.normal(rng, shape)
+        return ModelOutput(z=z, one_latent_space=True)
+
+    def compute_joint_nll(self, inputs, K: int = 1000,
+                          batch_size_K: int = 100):
+        raise NotImplementedError
+
+    def compute_cond_nll(self, inputs, subset, pred_mods,
+                         k_iwae: int = 1000, batch_size_k: int = 100,
+                         rng=None) -> Dict[str, jnp.ndarray]:
+        """Monte-Carlo conditional NLL ln p(x_pred | x_cond).
+
+        Reference: ``base_ae_model.py:396-442``. The reference loops
+        ``k_iwae`` times on the host; here each chunk samples
+        ``batch_size_k`` posterior draws at once (N-sampling) and chunks
+        accumulate through a logsumexp, so the work is K/chunk jitted calls.
+        """
+        batch = as_batch(inputs)
+        subset = self._normalize_cond_mod(subset)
+        pred_mods = tuple(pred_mods)
+        if rng is None:
+            rng = self.next_rng()
+
+        chunks = []
+        n_done = 0
+        while n_done < k_iwae:
+            n = min(batch_size_k, k_iwae - n_done)
+            rng, sub = jax.random.split(rng)
+            enc = self.encode(batch, list(subset), N=n, flatten=True, rng=sub,
+                              ignore_incomplete=True)
+            dec = self.decode(enc, list(pred_mods))
+            chunk_lnp = {}
+            for mod in pred_mods:
+                recon = dec[mod].reshape(n, -1, *dec[mod].shape[1:])
+                target = batch.data[mod][None]
+                lpxz = sum_except_batch(
+                    self.recon_log_probs[mod](recon, target), batch_ndims=2
+                )
+                chunk_lnp[mod] = lpxz  # (n, n_data)
+            chunks.append(chunk_lnp)
+            n_done += n
+
+        cnll = {}
+        for mod in pred_mods:
+            all_lnp = jnp.concatenate([c[mod] for c in chunks], axis=0)
+            lnp = jax.nn.logsumexp(all_lnp, axis=0) - jnp.log(
+                jnp.asarray(k_iwae, jnp.float32)
+            )
+            cnll[mod] = -jnp.sum(lnp) / lnp.shape[0]
+        return cnll

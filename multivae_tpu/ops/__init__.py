@@ -1,0 +1,23 @@
+from .gaussian import (
+    kl_divergence,
+    poe,
+    stable_poe,
+    masked_poe,
+    rsample_from_gaussian,
+    gaussian_log_prob,
+)
+from .dists import set_decoder_dist, cross_entropy
+from .subsets import all_subsets_mask, subsets_to_mask
+
+__all__ = [
+    "kl_divergence",
+    "poe",
+    "stable_poe",
+    "masked_poe",
+    "rsample_from_gaussian",
+    "gaussian_log_prob",
+    "set_decoder_dist",
+    "cross_entropy",
+    "all_subsets_mask",
+    "subsets_to_mask",
+]

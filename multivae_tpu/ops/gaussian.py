@@ -1,0 +1,159 @@
+"""Gaussian aggregation kernels: KL, Product-of-Experts, reparameterized sampling.
+
+TPU-native re-design of the reference ops layer
+(``src/multivae/models/base/base_utils.py:90-172``). Key difference from the
+reference: missing modalities are expressed as *multiplicative precision
+masks* (mask * exp(-log_var)) instead of setting ``log_var = +inf``
+(reference ``src/multivae/models/mvtcae/mvtcae_model.py:128-130``). This is
+mathematically identical (an infinite-variance expert has zero precision),
+avoids inf/nan arithmetic that XLA gradients choke on, fuses into one
+elementwise kernel, and keeps the property that missing modalities' encoders
+receive exactly zero gradient.
+
+All functions are pure and shape-polymorphic (jit/vmap/scan friendly).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def kl_divergence(mean, log_var, prior_mean, prior_log_var):
+    """Closed-form KL between two diagonal Gaussians, summed over last dim.
+
+    KL(N(mean, e^log_var) || N(prior_mean, e^prior_log_var)).
+    Reference: ``src/multivae/models/base/base_utils.py:90-119``.
+    """
+    kl = 0.5 * (
+        prior_log_var
+        - log_var
+        + jnp.exp(log_var - prior_log_var)
+        + (mean - prior_mean) ** 2 / jnp.exp(prior_log_var)
+        - 1.0
+    )
+    return kl.sum(axis=-1)
+
+
+def gaussian_log_prob(x, mean, log_var):
+    """Elementwise log N(x; mean, exp(log_var)) (diagonal)."""
+    return -0.5 * (_LOG_2PI + log_var + (x - mean) ** 2 * jnp.exp(-log_var))
+
+
+def poe(mus, log_vars, eps: float = 1e-8):
+    """Product of Gaussian experts along the leading axis.
+
+    Args:
+        mus: (M, ..., D) expert means.
+        log_vars: (M, ..., D) expert log-variances.
+        eps: added to variances for numerical stability, matching the
+            reference exactly (``base_utils.py:122-130``).
+
+    Returns:
+        (joint_mu, joint_log_var) with shape (..., D).
+    """
+    var = jnp.exp(log_vars) + eps
+    precision = 1.0 / var
+    total_precision = jnp.sum(precision, axis=0)
+    joint_mu = jnp.sum(mus * precision, axis=0) / total_precision
+    joint_log_var = -jnp.log(total_precision)
+    return joint_mu, joint_log_var
+
+
+def masked_poe(mus, log_vars, mask=None, prior_expert: bool = False,
+               eps: float = 1e-8):
+    """Masked Product of Gaussian experts along the leading axis.
+
+    Missing experts (mask == 0) contribute zero precision, which is exactly
+    the reference's ``log_var = +inf`` convention
+    (``mvtcae_model.py:128-130``, ``mvae_model.py:67-69``) but numerically
+    safe: no inf enters any computation and the gradient w.r.t. a masked
+    expert's (mu, log_var) is identically zero.
+
+    Args:
+        mus: (M, B, D) expert means.
+        log_vars: (M, B, D) expert log-variances.
+        mask: (M, B) float availability mask, or None (all available).
+        prior_expert: include a standard-normal expert N(0, I) in the
+            product (used by MVAE/DMVAE, reference ``mvae_model.py:62-66``).
+        eps: variance floor matching reference ``poe``.
+
+    Returns:
+        (joint_mu, joint_log_var) of shape (B, D).
+    """
+    precision = 1.0 / (jnp.exp(log_vars) + eps)
+    if mask is not None:
+        precision = precision * mask[..., None]
+    total_precision = jnp.sum(precision, axis=0)
+    weighted_mu = jnp.sum(mus * precision, axis=0)
+    if prior_expert:
+        total_precision = total_precision + 1.0 / (1.0 + eps)
+        # prior mean is zero: no contribution to weighted_mu
+    # Guard: if every expert is masked out and there is no prior expert the
+    # posterior is undefined; clamp so downstream masking sees finite values.
+    safe_precision = jnp.maximum(total_precision, 1e-20)
+    joint_mu = weighted_mu / safe_precision
+    joint_log_var = -jnp.log(safe_precision)
+    return joint_mu, joint_log_var
+
+
+def stable_poe(mus, log_vars, mask=None):
+    """Log-sum-exp-stabilized Product of Experts.
+
+    Reference: ``src/multivae/models/base/base_utils.py:133-147``. The joint
+    log-variance is computed as -logsumexp(-log_vars) which is stable for
+    very small/large variances. Masking uses the where-guarded logsumexp
+    trick so gradients to masked experts are exactly zero.
+
+    Args:
+        mus: (M, ..., D); log_vars: (M, ..., D); mask: (M, ...) or None.
+    """
+    mus = jnp.asarray(mus)
+    log_vars = jnp.asarray(log_vars)
+    if mask is None and mus.shape[0] == 1:
+        return mus[0], log_vars[0]
+
+    ln_inv_vars = -log_vars
+    if mask is not None:
+        neg_fill = jnp.full_like(ln_inv_vars, -1e30)
+        ln_inv_vars = jnp.where(mask[..., None] > 0, ln_inv_vars, neg_fill)
+    ln_var = -jax.nn.logsumexp(ln_inv_vars, axis=0)
+    weights = jnp.exp(ln_inv_vars + ln_var)  # normalized precisions
+    joint_mu = jnp.sum(weights * mus, axis=0)
+    return joint_mu, ln_var
+
+
+def rsample_from_gaussian(rng, mu, log_var, N: int = 1, return_mean: bool = False,
+                          flatten: bool = False):
+    """Reparameterized sampling from a diagonal Gaussian.
+
+    Matches reference semantics (``base_utils.py:150-172``): with N == 1 the
+    output has the shape of ``mu``; with N > 1 a leading sample axis is
+    prepended; ``flatten`` merges the (N, batch) axes.
+
+    Args:
+        rng: a ``jax.random`` key (ignored when return_mean).
+        mu, log_var: (..., D) posterior parameters.
+        N: number of samples.
+        return_mean: return the mean (replicated N times) instead of samples.
+    """
+    if N == 1:
+        shape = mu.shape
+    else:
+        shape = (N, *mu.shape)
+
+    if return_mean:
+        z = jnp.broadcast_to(mu, shape)
+    else:
+        noise = jax.random.normal(rng, shape, dtype=mu.dtype)
+        z = mu + jnp.exp(0.5 * log_var) * noise
+
+    if N > 1 and flatten:
+        if z.ndim == 2:  # (N, D) -> treat batch of 1, reference :168-170
+            z = z[:, None, :]
+        z = z.reshape(-1, *z.shape[2:])
+    return z
