@@ -1,0 +1,179 @@
+"""Benchmark: MVTCAE training step throughput on TPU vs reference-style torch CPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The workload mirrors the reference quickstart scale (MnistSvhn-like: two
+image modalities, MLP-512 default architectures, latent 512, batch 256 —
+the PolyMNIST case-study hyperparameters in BASELINE.md). The baseline is a
+faithful torch-CPU re-implementation of the same MVTCAE step (the reference
+library is PyTorch with no GPU requirement; BASELINE.json: throughput must
+be measured vs reference PyTorch-CPU).
+"""
+
+import json
+import time
+
+import numpy as np
+
+LATENT = 512
+BATCH = 256
+DIMS = {"m0": (1, 28, 28), "m1": (3, 32, 32)}
+N_STEPS = 40
+N_STEPS_TORCH = 6
+
+
+def bench_jax():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multivae_tpu.data.batch import batch_from_arrays
+    from multivae_tpu.models import MVTCAE, MVTCAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+    from multivae_tpu.trainers.base.base_trainer import TrainState
+
+    rng = np.random.default_rng(0)
+    data = {m: rng.uniform(size=(BATCH, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    batch = batch_from_arrays(data=data)
+
+    model = MVTCAE(MVTCAEConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        decoders_dist={m: "bernoulli" for m in DIMS},
+    ), seed=0)
+
+    opt = optax.adam(1e-3)
+    state = TrainState(
+        params=model.params, opt_state=opt.init(model.params),
+        rng=jax.random.key(0), step=jnp.asarray(0, jnp.int32),
+    )
+
+    @jax.jit
+    def step_fn(state, batch, info):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            out = model.loss_function(params, batch, rng, info)
+            return out["loss"], out["loss_sum"]
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1), loss
+
+    info = StepInfo.create(epoch=1, dataset_size=BATCH * 10)
+    # warmup / compile
+    state, loss = step_fn(state, batch, info)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(N_STEPS):
+        state, loss = step_fn(state, batch, info)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return N_STEPS / dt
+
+
+def bench_torch_reference_style():
+    """Reference-equivalent MVTCAE train step in torch on CPU."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(1, __import__("os").cpu_count() or 1))
+
+    class Enc(tnn.Module):
+        def __init__(self, din):
+            super().__init__()
+            self.h = tnn.Sequential(
+                tnn.Linear(din, 512), tnn.ReLU(),
+                tnn.Linear(512, 512), tnn.ReLU(),
+            )
+            self.mu = tnn.Linear(512, LATENT)
+            self.lv = tnn.Linear(512, LATENT)
+
+        def forward(self, x):
+            h = self.h(x.reshape(x.shape[0], -1))
+            return self.mu(h), self.lv(h)
+
+    class Dec(tnn.Module):
+        def __init__(self, dout):
+            super().__init__()
+            self.net = tnn.Sequential(
+                tnn.Linear(LATENT, 512), tnn.ReLU(), tnn.Linear(512, dout),
+            )
+
+        def forward(self, z):
+            return self.net(z)
+
+    dims_flat = {m: int(np.prod(d)) for m, d in DIMS.items()}
+    encs = {m: Enc(d) for m, d in dims_flat.items()}
+    decs = {m: Dec(d) for m, d in dims_flat.items()}
+    params = [p for mod in list(encs.values()) + list(decs.values())
+              for p in mod.parameters()]
+    optim = torch.optim.Adam(params, lr=1e-3)
+
+    rng = np.random.default_rng(0)
+    data = {m: torch.tensor(
+        rng.uniform(size=(BATCH, dims_flat[m])).astype(np.float32))
+        for m in DIMS}
+
+    alpha, beta, M = 0.1, 2.5, len(DIMS)
+
+    def step():
+        optim.zero_grad()
+        mus, lvs = [], []
+        for m in DIMS:
+            mu, lv = encs[m](data[m])
+            mus.append(mu)
+            lvs.append(lv)
+        mus_t, lvs_t = torch.stack(mus), torch.stack(lvs)
+        T = 1.0 / (lvs_t.exp() + 1e-8)
+        jmu = (mus_t * T).sum(0) / T.sum(0)
+        jlv = (1.0 / T.sum(0)).log()
+        z = jmu + torch.randn_like(jmu) * (0.5 * jlv).exp()
+        joint_kld = -0.5 * torch.sum(1 - jlv.exp() - jmu.pow(2) + jlv)
+        loss_rec = 0
+        for i, m in enumerate(DIMS):
+            recon = decs[m](z)
+            rec = F.binary_cross_entropy_with_logits(
+                recon, data[m], reduction="none").sum(-1)
+            loss_rec = loss_rec + rec.sum()
+        klds = 0
+        for i, m in enumerate(DIMS):
+            klds = klds + (-0.5 * (
+                1 - (jlv - lvs[i]).exp()
+                - (jmu - mus[i]).pow(2) / lvs[i].exp() + jlv - lvs[i]
+            ).sum())
+        total = (M - alpha) / M * loss_rec + beta * (
+            alpha / M * klds + (1 - alpha) * joint_kld)
+        loss = total / BATCH
+        loss.backward()
+        optim.step()
+        return float(loss)
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(N_STEPS_TORCH):
+        step()
+    dt = time.perf_counter() - t0
+    return N_STEPS_TORCH / dt
+
+
+def main():
+    jax_sps = bench_jax()
+    torch_sps = bench_torch_reference_style()
+    print(json.dumps({
+        "metric": "mvtcae_train_steps_per_sec",
+        "value": round(jax_sps, 3),
+        "unit": "steps/s (batch=256, latent=512, MLP-512, 2 modalities)",
+        "vs_baseline": round(jax_sps / torch_sps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

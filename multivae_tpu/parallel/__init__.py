@@ -1,0 +1,15 @@
+from .mesh import (
+    batch_sharding,
+    get_data_mesh,
+    maybe_init_distributed,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "get_data_mesh",
+    "maybe_init_distributed",
+    "replicated_sharding",
+    "shard_batch",
+]

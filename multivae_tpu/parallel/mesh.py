@@ -1,0 +1,89 @@
+"""Device mesh + sharding helpers: the TPU-native replacement for DDP.
+
+The reference's only parallelism is data parallelism via torch DDP + NCCL +
+DistributedSampler (``src/multivae/trainers/base/base_trainer.py:93-222``,
+SURVEY §2.3). Here the equivalent is:
+
+- a 1-D ``jax.sharding.Mesh`` over all devices (axis "data"),
+- batches sharded over the leading axis with ``NamedSharding``,
+- parameters/optimizer state replicated,
+- gradient all-reduce inserted by XLA (rides ICI intra-pod, DCN across
+  hosts) when the jitted train step consumes the sharded batch.
+
+Multi-host: ``maybe_init_distributed`` wraps ``jax.distributed.initialize``
+(replacing env-var NCCL rendezvous, reference ``base_trainer.py:186-192``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+DATA_AXIS = "data"
+
+
+def maybe_init_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Initialize JAX multi-host if a coordinator is configured.
+
+    No-op in single-process mode. Mirrors the reference's conditional
+    ``dist.init_process_group`` (``base_trainer.py:172-194``).
+    """
+    if coordinator_address is None or (num_processes or 1) <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logger.info(
+        "Initialized jax.distributed: process %d / %d",
+        jax.process_index(), jax.process_count(),
+    )
+
+
+def get_data_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """A 1-D mesh over (up to) all visible devices, axis name "data"."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"Requested {n_devices} devices but only {len(devices)} are "
+                "visible."
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch pytree with the batch axis sharded."""
+    sharding = batch_sharding(mesh)
+    multi_host = jax.process_count() > 1
+
+    def put(x):
+        if x is None:
+            return None
+        if multi_host:
+            # each process holds its slice of the global batch
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)

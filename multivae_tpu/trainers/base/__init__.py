@@ -1,0 +1,20 @@
+from .base_trainer import BaseTrainer, TrainState
+from .base_trainer_config import BaseTrainerConfig
+from .callbacks import (
+    CallbackHandler,
+    MetricConsolePrinterCallback,
+    ProgressBarCallback,
+    TrainingCallback,
+    WandbCallback,
+)
+
+__all__ = [
+    "BaseTrainer",
+    "BaseTrainerConfig",
+    "TrainState",
+    "CallbackHandler",
+    "MetricConsolePrinterCallback",
+    "ProgressBarCallback",
+    "TrainingCallback",
+    "WandbCallback",
+]

@@ -1,0 +1,629 @@
+"""BaseTrainer: jitted, mesh-sharded epoch training loop.
+
+TPU-native counterpart of reference
+``src/multivae/trainers/base/base_trainer.py`` (885 LoC torch/DDP trainer).
+Same public surface — ``BaseTrainer(model, train_dataset, eval_dataset,
+training_config, callbacks, checkpoint).train()`` — with the hot path
+redesigned for XLA:
+
+- one compiled ``train_step(state, batch, info) -> (state, outputs)`` with
+  the TrainState donated (params update in place in HBM);
+- data parallelism over a 1-D device mesh via NamedSharding (gradient
+  all-reduce inserted by XLA), replacing DDP/NCCL (SURVEY §2.3);
+- static batch shapes (loader pads + zero-weights) so nothing retraces;
+- per-epoch host work limited to scalar fetches: metric sums stay on
+  device during the epoch.
+
+Semantics parity: best-model tracking gated by ``start_keep_best_epoch``
+(``base_trainer.py:501-523``), NaN -> ArithmeticError (``:629-630,684-685``),
+checkpoints save the *best* model (``:550-553``), loss_sum/len(dataset)
+epoch-loss reduction (``:621-626,697-700``), multistage-model refusal
+(``:156-163``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import logging
+import os
+from typing import Any, List, Optional
+
+import numpy as np
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+
+from ...data.batch import MultimodalBatch
+from ...data.loader import DataLoader
+from ...data.utils import adapt_shape, grid_to_pil, make_grid
+from ...models.base.base_ae_model import BaseMultiVAE
+from ...models.base.base_model import BaseModel
+from ...models.base.step import StepInfo
+from ...parallel.mesh import (
+    batch_sharding,
+    get_data_mesh,
+    maybe_init_distributed,
+    replicated_sharding,
+    shard_batch,
+)
+from .base_trainer_config import BaseTrainerConfig
+from .callbacks import (
+    CallbackHandler,
+    MetricConsolePrinterCallback,
+    ProgressBarCallback,
+    TrainingCallback,
+)
+from .optim import get_learning_rate, make_optimizer, make_scheduler, set_learning_rate
+from .utils import set_seed, update_dict
+
+logger = logging.getLogger(__name__)
+logger.setLevel(logging.INFO)
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jnp.ndarray
+
+
+class BaseTrainer:
+    """Single- or multi-device (data-parallel) epoch trainer.
+
+    Args:
+        model: a BaseMultiVAE (or BaseModel) instance.
+        train_dataset / eval_dataset: MultimodalBaseDataset instances.
+        training_config: BaseTrainerConfig.
+        callbacks: list of TrainingCallback.
+        checkpoint: path to a ``checkpoint_epoch_N`` folder to resume from.
+    """
+
+    def __init__(self, model: BaseModel, train_dataset, eval_dataset=None,
+                 training_config: Optional[BaseTrainerConfig] = None,
+                 callbacks: Optional[List[TrainingCallback]] = None,
+                 checkpoint: Optional[str] = None):
+        if training_config is None:
+            training_config = BaseTrainerConfig()
+        if training_config.output_dir is None:
+            training_config.output_dir = "dummy_output_dir"
+
+        self.checktrainer(model)
+
+        self.model = model
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.training_config = training_config
+        self.model_config = getattr(model, "model_config", None)
+
+        maybe_init_distributed(
+            training_config.coordinator_address,
+            training_config.num_processes,
+            training_config.process_id,
+        )
+        self.mesh = get_data_mesh(training_config.n_devices)
+        self.n_data_devices = self.mesh.size
+        self.is_main_process = jax.process_index() == 0
+
+        set_seed(training_config.seed)
+
+        global_train_batch = (
+            training_config.per_device_train_batch_size * self.n_data_devices
+        )
+        global_eval_batch = (
+            training_config.per_device_eval_batch_size * self.n_data_devices
+        )
+        self.train_loader = DataLoader(
+            train_dataset, global_train_batch, shuffle=True,
+            seed=training_config.seed, drop_last=training_config.drop_last,
+            num_processes=jax.process_count(), process_index=jax.process_index(),
+        )
+        self.eval_loader = (
+            DataLoader(
+                eval_dataset, global_eval_batch, shuffle=False,
+                seed=training_config.seed, drop_last=training_config.drop_last,
+                num_processes=jax.process_count(),
+                process_index=jax.process_index(),
+            )
+            if eval_dataset is not None else None
+        )
+
+        self.optimizer = make_optimizer(
+            training_config.optimizer_cls, training_config.learning_rate,
+            training_config.optimizer_params,
+        )
+        self.scheduler = make_scheduler(
+            training_config.scheduler_cls, training_config.learning_rate,
+            training_config.scheduler_params,
+        )
+
+        params = model._ensure_params()
+        self.state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            rng=jax.random.key(training_config.seed),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+        self.trained_epochs = 0
+        self.best_train_loss = float("inf")
+        self.best_eval_loss = float("inf")
+        # None means "no best snapshot yet": fall back to the live model
+        # params (reference initializes _best_model = the live model).
+        self._best_params = None
+        self.start_keep_best_epoch = getattr(model, "start_keep_best_epoch", 0)
+
+        self._train_step_fn = None
+        self._eval_step_fn = None
+
+        self._run_model_sanity_check()
+
+        if checkpoint is not None:
+            self._resume_from_checkpoint(checkpoint)
+
+        # Output dir with training signature (reference ``:265-289``)
+        signature = str(datetime.datetime.now())[:19].replace(" ", "_").replace(
+            ":", "-"
+        )
+        self.training_dir = os.path.join(
+            training_config.output_dir,
+            f"{getattr(model, 'model_name', type(model).__name__)}"
+            f"_training_{signature}",
+        )
+        if self.is_main_process:
+            os.makedirs(self.training_dir, exist_ok=True)
+
+        callbacks = list(callbacks) if callbacks is not None else []
+        callbacks.append(ProgressBarCallback())
+        callbacks.append(MetricConsolePrinterCallback())
+        self.callback_handler = CallbackHandler(callbacks, model)
+        self.callback_handler.on_init_end(training_config)
+
+    # -------------------------------------------------------------- checks
+    def checktrainer(self, model):
+        """Refuse models that require multistage training
+        (reference ``base_trainer.py:156-163``)."""
+        if getattr(model, "reset_optimizer_epochs", None):
+            raise AttributeError(
+                f"The model {type(model).__name__} requires the "
+                "MultistageTrainer for training (it defines "
+                "reset_optimizer_epochs). Please use "
+                "multivae_tpu.trainers.MultistageTrainer instead of BaseTrainer."
+            )
+
+    def _run_model_sanity_check(self):
+        """One shape-level forward on a real batch before training starts.
+
+        Reference ``base_trainer.py:328-347`` runs a full forward; here
+        ``jax.eval_shape`` catches wiring errors without burning a compile.
+        """
+        try:
+            batch = next(iter(self.train_loader))
+            jax.eval_shape(
+                self.model.loss_function, self.state.params, batch,
+                jax.random.key(0), StepInfo.create(),
+            )
+        except Exception as e:
+            raise ValueError(
+                "Error when calling forward on a batch of the training "
+                "dataset. Possible reasons: the data input doesn't match "
+                "your model's architecture or the model config. Original "
+                f"exception: {e}"
+            ) from e
+
+    # ------------------------------------------------------------- stepping
+    def _compiled_train_step(self):
+        if self._train_step_fn is not None:
+            return self._train_step_fn
+        model = self.model
+        optimizer = self.optimizer
+        rep = replicated_sharding(self.mesh)
+        bsh = batch_sharding(self.mesh)
+
+        def step_fn(state: TrainState, batch: MultimodalBatch, info: StepInfo):
+            rng = jax.random.fold_in(state.rng, state.step)
+
+            def loss_fn(params):
+                out = model.loss_function(params, batch, rng, info)
+                return out["loss"], out
+
+            (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=params, opt_state=opt_state, step=state.step + 1
+            )
+            return new_state, {
+                "loss_sum": out["loss_sum"],
+                "metrics": out.get("metrics", {}),
+            }
+
+        self._train_step_fn = jax.jit(
+            step_fn, donate_argnums=(0,),
+            in_shardings=(rep, bsh, rep), out_shardings=(rep, rep),
+        )
+        return self._train_step_fn
+
+    def _compiled_eval_step(self):
+        if self._eval_step_fn is not None:
+            return self._eval_step_fn
+        model = self.model
+        rep = replicated_sharding(self.mesh)
+        bsh = batch_sharding(self.mesh)
+
+        def eval_fn(params, batch, rng, info):
+            out = model.loss_function(params, batch, rng, info)
+            return {"loss_sum": out["loss_sum"],
+                    "metrics": out.get("metrics", {})}
+
+        self._eval_step_fn = jax.jit(
+            eval_fn, in_shardings=(rep, bsh, rep, rep), out_shardings=rep,
+        )
+        return self._eval_step_fn
+
+    def prepare_train_step(self, epoch, best_train_loss, best_eval_loss):
+        """Hook for inter-epoch changes (optimizer resets in the
+        MultistageTrainer)."""
+        return best_train_loss, best_eval_loss
+
+    def train_step(self, epoch: int):
+        """One epoch over the train loader; returns (epoch_loss, metrics)."""
+        self.callback_handler.on_train_step_begin(
+            self.training_config, train_loader=self.train_loader, epoch=epoch,
+        )
+        step_fn = self._compiled_train_step()
+        self.train_loader.set_epoch(epoch)
+        n_batches = len(self.train_loader)
+        dataset_size = len(self.train_dataset)
+
+        loss_sum_total = None
+        metric_sums = {}
+        for batch_idx, batch in enumerate(self.train_loader):
+            batch = shard_batch(batch, self.mesh)
+            info = StepInfo.create(
+                epoch=epoch, batch_ratio=batch_idx / n_batches,
+                dataset_size=dataset_size,
+            )
+            self.state, out = step_fn(self.state, batch, info)
+            loss_sum_total = (
+                out["loss_sum"] if loss_sum_total is None
+                else loss_sum_total + out["loss_sum"]
+            )
+            update_dict(metric_sums, out["metrics"])
+            self.callback_handler.on_train_step_end(self.training_config)
+
+        # Expose the updated params to the model (epoch-end hooks, predict).
+        # Copy: the TrainState is donated every step, which would otherwise
+        # delete these buffers out from under the model.
+        self.model.params = jax.tree.map(jnp.copy, self.state.params)
+        self.model.update()
+        self.state = self.state.replace(
+            params=jax.tree.map(jnp.copy, self.model.params)
+        )
+
+        epoch_loss = float(loss_sum_total) / dataset_size
+        if np.isnan(epoch_loss) or np.isinf(epoch_loss):
+            raise ArithmeticError("NaN detected in train loss")
+        epoch_metrics = {k: float(v) / n_batches for k, v in metric_sums.items()}
+        return epoch_loss, epoch_metrics
+
+    def eval_step(self, epoch: int):
+        """One epoch over the eval loader (no grad)."""
+        self.callback_handler.on_eval_step_begin(
+            self.training_config, eval_loader=self.eval_loader, epoch=epoch,
+        )
+        eval_fn = self._compiled_eval_step()
+        dataset_size = len(self.eval_dataset)
+        n_batches = len(self.eval_loader)
+        rng = jax.random.key(self.training_config.seed + 1000 + epoch)
+
+        loss_sum_total = None
+        metric_sums = {}
+        for batch in self.eval_loader:
+            batch = shard_batch(batch, self.mesh)
+            info = StepInfo.create(epoch=epoch, dataset_size=dataset_size)
+            out = eval_fn(self.state.params, batch, rng, info)
+            loss_sum_total = (
+                out["loss_sum"] if loss_sum_total is None
+                else loss_sum_total + out["loss_sum"]
+            )
+            update_dict(metric_sums, out["metrics"])
+            self.callback_handler.on_eval_step_end(self.training_config)
+
+        epoch_loss = float(loss_sum_total) / dataset_size
+        if np.isnan(epoch_loss) or np.isinf(epoch_loss):
+            raise ArithmeticError("NaN detected in eval loss")
+        epoch_metrics = {k: float(v) / n_batches for k, v in metric_sums.items()}
+        return epoch_loss, epoch_metrics
+
+    def _schedulers_step(self, metric=None):
+        if self.scheduler is None:
+            return
+        new_lr = self.scheduler.step(metric)
+        set_learning_rate(self.state.opt_state, new_lr)
+
+    @property
+    def current_learning_rate(self) -> float:
+        return get_learning_rate(self.state.opt_state)
+
+    # ----------------------------------------------------------------- main
+    def train(self, log_output_dir: Optional[str] = None):
+        """Main training loop (reference ``base_trainer.py:435-577``)."""
+        self.callback_handler.on_train_begin(
+            self.training_config, model_config=self.model_config
+        )
+
+        msg = (
+            f"Training params:\n - max_epochs: {self.training_config.num_epochs}\n"
+            " - per_device_train_batch_size: "
+            f"{self.training_config.per_device_train_batch_size}\n"
+            " - per_device_eval_batch_size: "
+            f"{self.training_config.per_device_eval_batch_size}\n"
+            f" - checkpoint saving every: {self.training_config.steps_saving}\n"
+            f" - data-parallel devices: {self.n_data_devices}\n"
+            f"Optimizer: {self.training_config.optimizer_cls} "
+            f"(lr={self.training_config.learning_rate})\n"
+            f"Scheduler: {self.training_config.scheduler_cls}\n"
+        )
+        file_logger = None
+        if self.is_main_process:
+            logger.info(msg)
+            if log_output_dir is not None:
+                file_logger = self._get_file_logger(log_output_dir)
+                file_logger.info(msg)
+            logger.info("Successfully launched training !\n")
+
+        for epoch in range(self.trained_epochs + 1,
+                           self.training_config.num_epochs + 1):
+            self.callback_handler.on_epoch_begin(
+                self.training_config, epoch=epoch,
+                train_loader=self.train_loader, eval_loader=self.eval_loader,
+            )
+            self.best_train_loss, self.best_eval_loss = self.prepare_train_step(
+                epoch, self.best_train_loss, self.best_eval_loss
+            )
+
+            epoch_train_loss, epoch_metrics = self.train_step(epoch)
+            metrics = {"train_" + k: v for k, v in epoch_metrics.items()}
+            metrics["train_epoch_loss"] = epoch_train_loss
+
+            if self.eval_dataset is not None:
+                epoch_eval_loss, epoch_eval_metrics = self.eval_step(epoch)
+                metrics["eval_epoch_loss"] = epoch_eval_loss
+                update_dict(
+                    metrics,
+                    {"eval_" + k: v for k, v in epoch_eval_metrics.items()},
+                )
+                self._schedulers_step(epoch_eval_loss)
+            else:
+                epoch_eval_loss = self.best_eval_loss
+                self._schedulers_step(epoch_train_loss)
+
+            if epoch <= self.start_keep_best_epoch:
+                self._best_params = jax.tree.map(jnp.copy, self.state.params)
+                logger.info("New model saved!")
+            elif (epoch_eval_loss < self.best_eval_loss
+                  and not self.training_config.keep_best_on_train):
+                self.best_eval_loss = epoch_eval_loss
+                self._best_params = jax.tree.map(jnp.copy, self.state.params)
+                logger.info("New best model on eval saved!")
+            elif (epoch_train_loss < self.best_train_loss
+                  and self.training_config.keep_best_on_train):
+                self.best_train_loss = epoch_train_loss
+                self._best_params = jax.tree.map(jnp.copy, self.state.params)
+                logger.info("New best model on train saved!")
+
+            if (self.training_config.steps_predict is not None
+                    and (epoch % self.training_config.steps_predict == 0
+                         or epoch == 1)
+                    and self.is_main_process):
+                reconstructions = self.predict(epoch)
+                self.callback_handler.on_prediction_step(
+                    self.training_config, reconstructions=reconstructions,
+                    global_step=epoch,
+                )
+                for key, image in reconstructions.items():
+                    image.save(
+                        os.path.join(self.training_dir, f"recon_from_{key}.png")
+                    )
+
+            self.callback_handler.on_epoch_end(self.training_config)
+
+            if (self.training_config.steps_saving is not None
+                    and epoch % self.training_config.steps_saving == 0
+                    and self.is_main_process):
+                self.save_checkpoint(dir_path=self.training_dir, epoch=epoch)
+                logger.info("Saved checkpoint at epoch %s\n", epoch)
+                if file_logger:
+                    file_logger.info(f"Saved checkpoint at epoch {epoch}\n")
+
+            self.callback_handler.on_log(
+                self.training_config, metrics, logger=logger, global_step=epoch,
+            )
+
+        final_dir = os.path.join(self.training_dir, "final_model")
+        if self.is_main_process:
+            self.save_model(dir_path=final_dir)
+            logger.info("Training ended!")
+            logger.info("Saved final model in %s", final_dir)
+        self.callback_handler.on_train_end(self.training_config)
+
+    @property
+    def best_params(self):
+        return (self._best_params if self._best_params is not None
+                else self.model.params)
+
+    # ------------------------------------------------------------ save/load
+    def _with_params(self, params):
+        """Context: temporarily swap model params."""
+        model = self.model
+
+        class _Swap:
+            def __enter__(self_inner):
+                self_inner.saved = model.params
+                model.params = params
+
+            def __exit__(self_inner, *a):
+                model.params = self_inner.saved
+
+        return _Swap()
+
+    def save_model(self, dir_path: str, params=None):
+        """Save the best model + training config (reference ``:704-726``)."""
+        os.makedirs(dir_path, exist_ok=True)
+        with self._with_params(params if params is not None else self.best_params):
+            self.model.save(dir_path)
+        self.training_config.save_json(dir_path, "training_config")
+        self.callback_handler.on_save(self.training_config, dir_path=dir_path)
+
+    def save_checkpoint(self, dir_path: str, epoch: int):
+        """Checkpoint = best model + optimizer/scheduler + loop counters.
+
+        Reference layout ``base_trainer.py:728-775``.
+        """
+        checkpoint_dir = os.path.join(dir_path, f"checkpoint_epoch_{epoch}")
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+        opt_state_dict = serialization.to_state_dict(
+            jax.tree.map(np.asarray, self.state.opt_state)
+        )
+        with open(os.path.join(checkpoint_dir, "optimizer.msgpack"), "wb") as f:
+            f.write(serialization.msgpack_serialize(opt_state_dict))
+
+        if self.scheduler is not None:
+            with open(os.path.join(checkpoint_dir, "scheduler.json"), "w") as f:
+                json.dump(self.scheduler.state_dict(), f)
+
+        with self._with_params(self.best_params):
+            self.model.save(checkpoint_dir)
+        self.training_config.save_json(checkpoint_dir, "training_config")
+
+        info = dict(
+            training_dir=self.training_dir,
+            trained_epochs=epoch,
+            best_train_loss=self.best_train_loss,
+            best_eval_loss=self.best_eval_loss,
+        )
+        with open(os.path.join(checkpoint_dir, "info_checkpoint.json"), "w") as fp:
+            json.dump(info, fp, sort_keys=True, indent=4)
+
+        self.callback_handler.on_save_checkpoint(
+            self.training_config, checkpoint_dir=checkpoint_dir
+        )
+
+    def _resume_from_checkpoint(self, checkpoint_dir: str):
+        """Reload model weights, optimizer/scheduler state and counters.
+
+        Reference ``base_trainer.py:390-427``.
+        """
+        with open(os.path.join(checkpoint_dir, "info_checkpoint.json")) as fp:
+            info = json.load(fp)
+        self.trained_epochs = info["trained_epochs"]
+        self.best_train_loss = info["best_train_loss"]
+        self.best_eval_loss = info["best_eval_loss"]
+
+        params = type(self.model)._load_params(checkpoint_dir)
+        params = jax.tree.map(jnp.asarray, params)
+        self.model.params = params
+        self._best_params = params
+
+        opt_path = os.path.join(checkpoint_dir, "optimizer.msgpack")
+        opt_state = self.optimizer.init(params)
+        if os.path.exists(opt_path):
+            with open(opt_path, "rb") as f:
+                restored = serialization.msgpack_restore(f.read())
+            opt_state = serialization.from_state_dict(opt_state, restored)
+
+        sch_path = os.path.join(checkpoint_dir, "scheduler.json")
+        if self.scheduler is not None and os.path.exists(sch_path):
+            with open(sch_path) as f:
+                self.scheduler.load_state_dict(json.load(f))
+
+        self.state = TrainState(
+            params=params, opt_state=opt_state,
+            rng=jax.random.key(self.training_config.seed),
+            step=jnp.asarray(self.trained_epochs * len(self.train_loader),
+                             jnp.int32),
+        )
+
+    # ----------------------------------------------------------- prediction
+    def predict(self, epoch: int = 0, n_data: int = 8):
+        """Self/cross/joint reconstruction grids as PIL images.
+
+        Reference ``base_trainer.py:777-885``.
+        """
+        predict_dataset = (
+            self.eval_dataset if self.eval_dataset is not None
+            else self.train_dataset
+        )
+        raw = predict_dataset.get_batch(np.arange(min(n_data, len(predict_dataset))))
+        inputs_data = raw["data"]
+        from ...data.batch import batch_from_arrays
+
+        batch = batch_from_arrays(data=inputs_data)
+
+        all_recons = {}
+        model = self.model
+        if not isinstance(model, BaseMultiVAE):
+            return all_recons
+
+        with self._with_params(self.best_params):
+            for mod in inputs_data:
+                recon = model.predict(batch, mod, "all", N=8, flatten=True,
+                                      ignore_incomplete=True)
+                recon = {
+                    m: predict_dataset.transform_for_plotting(
+                        np.asarray(recon[m]), modality=m)
+                    for m in recon
+                }
+                recon["true_data"] = predict_dataset.transform_for_plotting(
+                    np.asarray(inputs_data[mod]), modality=mod
+                )
+                recon, _ = adapt_shape(recon)
+                rows = [recon["true_data"]] + [
+                    recon[m] for m in recon if m != "true_data"
+                ]
+                grid = make_grid(np.concatenate(rows, 0), nrow=n_data)
+                all_recons[mod] = grid_to_pil(grid)
+
+            # joint reconstruction conditioned on all modalities
+            recon = model.predict(batch, "all", "all", N=8, flatten=True,
+                                  ignore_incomplete=True)
+            gen_mods = list(recon.keys())
+            recon = {
+                m: predict_dataset.transform_for_plotting(
+                    np.asarray(recon[m]), modality=m)
+                for m in recon
+            }
+            for m in inputs_data:
+                recon[f"true_data_{m}"] = predict_dataset.transform_for_plotting(
+                    np.asarray(inputs_data[m]), modality=m
+                )
+            recon, _ = adapt_shape(recon)
+            rows = [recon[f"true_data_{m}"] for m in inputs_data] + [
+                recon[m] for m in gen_mods
+            ]
+            grid = make_grid(np.concatenate(rows, 0), nrow=n_data)
+            all_recons["all"] = grid_to_pil(grid)
+
+        return all_recons
+
+    # -------------------------------------------------------------- logging
+    def _get_file_logger(self, log_output_dir: str):
+        os.makedirs(log_output_dir, exist_ok=True)
+        log_name = f"training_logs_{os.path.basename(self.training_dir)}"
+        file_logger = logging.getLogger(log_name)
+        file_logger.setLevel(logging.INFO)
+        handler = logging.FileHandler(
+            os.path.join(log_output_dir, f"{log_name}.log")
+        )
+        file_logger.addHandler(handler)
+        return file_logger

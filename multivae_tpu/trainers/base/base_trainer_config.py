@@ -1,0 +1,91 @@
+"""Trainer config (reference ``src/multivae/trainers/base/base_trainer_config.py``).
+
+DDP fields (world_size/rank/master addr+port/dist_backend) are replaced by
+JAX multi-host fields (coordinator_address/num_processes/process_id), read
+from env vars in ``__post_init__`` like the reference reads
+LOCAL_RANK/WORLD_SIZE/... (``base_trainer_config.py:74-97``). Optimizer and
+scheduler specs are validated eagerly, mirroring ``:99-149``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Union
+
+import pydantic
+from pydantic.dataclasses import dataclass
+
+from ...utils.config import BaseConfig
+from .optim import make_optimizer, make_scheduler
+
+
+@dataclass(config=pydantic.ConfigDict(extra="allow"))
+class BaseTrainerConfig(BaseConfig):
+    """Main training arguments.
+
+    Args:
+        output_dir: where checkpoints, configs and the final model go.
+        per_device_train_batch_size / per_device_eval_batch_size: samples
+            per batch *per device*; the global batch is this times the
+            number of data-parallel devices.
+        num_epochs: maximum training epochs.
+        optimizer_cls: optax optimizer by torch-style name
+            (Adam, AdamW, SGD, RMSprop, Adagrad, Adadelta, Adamax, RAdam).
+        optimizer_params: extra optimizer kwargs (torch names accepted,
+            e.g. ``betas``).
+        scheduler_cls: LR scheduler by torch-style name (StepLR,
+            MultiStepLR, ExponentialLR, LinearLR, CosineAnnealingLR,
+            ReduceLROnPlateau) or None.
+        scheduler_params: scheduler kwargs.
+        learning_rate: base learning rate.
+        steps_saving: checkpoint every N epochs (None = never).
+        steps_predict: render prediction image grids every N epochs.
+        keep_best_on_train: track the best model on train loss instead of
+            eval loss.
+        seed: global RNG seed.
+        drop_last: drop the final partial batch instead of padding it.
+        n_devices: number of local devices to use (None = all).
+        coordinator_address / num_processes / process_id: jax.distributed
+            multi-host setup (replaces DDP env rendezvous).
+    """
+
+    output_dir: Optional[str] = None
+    per_device_train_batch_size: int = 64
+    per_device_eval_batch_size: int = 64
+    num_epochs: int = 100
+    optimizer_cls: str = "Adam"
+    optimizer_params: Union[dict, None] = None
+    scheduler_cls: Union[str, None] = None
+    scheduler_params: Union[dict, None] = None
+    learning_rate: float = 1e-4
+    steps_saving: Union[int, None] = None
+    steps_predict: Union[int, None] = None
+    keep_best_on_train: bool = False
+    seed: int = 8
+    drop_last: bool = False
+    n_devices: Union[int, None] = None
+    coordinator_address: Union[str, None] = None
+    num_processes: Union[int, None] = None
+    process_id: Union[int, None] = None
+
+    def __post_init__(self):
+        if hasattr(super(), "__post_init__"):
+            super().__post_init__()
+
+        # Multi-host settings from the environment (reference reads
+        # LOCAL_RANK/WORLD_SIZE/RANK/MASTER_ADDR/MASTER_PORT).
+        env_coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if self.coordinator_address is None and env_coord:
+            self.coordinator_address = env_coord
+        env_nproc = os.environ.get("JAX_NUM_PROCESSES")
+        if self.num_processes is None and env_nproc:
+            self.num_processes = int(env_nproc)
+        env_pid = os.environ.get("JAX_PROCESS_ID")
+        if self.process_id is None and env_pid:
+            self.process_id = int(env_pid)
+
+        # Eager validation of the optimizer / scheduler specs.
+        make_optimizer(self.optimizer_cls, self.learning_rate,
+                       self.optimizer_params)
+        make_scheduler(self.scheduler_cls, self.learning_rate,
+                       self.scheduler_params)

@@ -1,0 +1,257 @@
+"""Optimizer and LR-scheduler factories from config strings.
+
+The reference builds torch optimizers/schedulers from their class names
+(``src/multivae/trainers/base/base_trainer.py:231-263``), with eager
+validation in the trainer config (``base_trainer_config.py:99-149``). Here
+the names map to optax transforms (torch param names like ``betas`` are
+translated), and schedulers are small host-side objects that recompute the
+learning rate each epoch — matching torch's per-epoch ``scheduler.step()``
+semantics — feeding an ``optax.inject_hyperparams`` learning-rate slot so
+the jitted train step never retraces.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import optax
+
+
+def _translate_torch_params(params: dict) -> dict:
+    out = dict(params)
+    if "betas" in out:
+        b1, b2 = out.pop("betas")
+        out["b1"] = b1
+        out["b2"] = b2
+    return out
+
+
+_OPTIMIZERS = {
+    "Adam": (optax.adam, {"b1", "b2", "eps", "eps_root", "nesterov"}),
+    "AdamW": (optax.adamw, {"b1", "b2", "eps", "eps_root", "weight_decay",
+                            "nesterov"}),
+    "Adagrad": (optax.adagrad, {"eps", "initial_accumulator_value"}),
+    "Adadelta": (optax.adadelta, {"rho", "eps", "weight_decay"}),
+    "SGD": (optax.sgd, {"momentum", "nesterov"}),
+    "RMSprop": (optax.rmsprop, {"decay", "eps", "momentum", "centered",
+                                "initial_scale"}),
+    "Adamax": (optax.adamax, {"b1", "b2", "eps"}),
+    "RAdam": (optax.radam, {"b1", "b2", "eps", "eps_root", "threshold"}),
+}
+
+
+def make_optimizer(optimizer_cls: str, learning_rate: float,
+                   optimizer_params: Optional[dict] = None):
+    """Build an ``optax.inject_hyperparams``-wrapped optimizer.
+
+    Raises AttributeError on unknown names and TypeError on bad params,
+    mirroring reference config validation (``base_trainer_config.py:99-127``).
+    """
+    if optimizer_cls not in _OPTIMIZERS:
+        raise AttributeError(
+            f"Unable to build `{optimizer_cls}` optimizer. Available "
+            f"optimizers: {sorted(_OPTIMIZERS)}"
+        )
+    ctor, allowed = _OPTIMIZERS[optimizer_cls]
+    params = _translate_torch_params(optimizer_params or {})
+    unknown = set(params) - allowed
+    if unknown:
+        raise TypeError(
+            f"Error in optimizer's parameters. Unknown parameters {unknown} "
+            f"for `{optimizer_cls}` (allowed: {sorted(allowed)})."
+        )
+    try:
+        return optax.inject_hyperparams(ctor)(
+            learning_rate=learning_rate, **params
+        )
+    except TypeError as e:
+        raise TypeError(
+            f"Error in optimizer's parameters for `{optimizer_cls}`: {e}"
+        ) from e
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate in place-of-value (no retrace)."""
+    import jax.numpy as jnp
+
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+class LRScheduler:
+    """Base epoch-wise scheduler (host-side); subclasses mirror torch."""
+
+    needs_metric = False
+
+    def __init__(self, base_lr: float):
+        self.base_lr = base_lr
+        self.last_epoch = 0
+        self.current_lr = base_lr
+
+    def step(self, metric: Optional[float] = None) -> float:
+        self.last_epoch += 1
+        self.current_lr = self._compute_lr(metric)
+        return self.current_lr
+
+    def _compute_lr(self, metric) -> float:
+        return self.current_lr
+
+    def state_dict(self) -> dict:
+        return {"last_epoch": self.last_epoch, "current_lr": self.current_lr}
+
+    def load_state_dict(self, d: dict):
+        self.last_epoch = d["last_epoch"]
+        self.current_lr = d["current_lr"]
+
+
+class StepLR(LRScheduler):
+    def __init__(self, base_lr, step_size: int, gamma: float = 0.1):
+        super().__init__(base_lr)
+        self.step_size = step_size
+        self.gamma = gamma
+
+    def _compute_lr(self, metric):
+        return self.base_lr * self.gamma ** (self.last_epoch // self.step_size)
+
+
+class MultiStepLR(LRScheduler):
+    def __init__(self, base_lr, milestones, gamma: float = 0.1):
+        super().__init__(base_lr)
+        self.milestones = sorted(milestones)
+        self.gamma = gamma
+
+    def _compute_lr(self, metric):
+        n = sum(1 for m in self.milestones if m <= self.last_epoch)
+        return self.base_lr * self.gamma ** n
+
+
+class ExponentialLR(LRScheduler):
+    def __init__(self, base_lr, gamma: float):
+        super().__init__(base_lr)
+        self.gamma = gamma
+
+    def _compute_lr(self, metric):
+        return self.base_lr * self.gamma ** self.last_epoch
+
+
+class LinearLR(LRScheduler):
+    def __init__(self, base_lr, start_factor: float = 1.0 / 3,
+                 end_factor: float = 1.0, total_iters: int = 5):
+        super().__init__(base_lr)
+        self.start_factor = start_factor
+        self.end_factor = end_factor
+        self.total_iters = total_iters
+        self.current_lr = base_lr * start_factor
+
+    def _compute_lr(self, metric):
+        t = min(self.last_epoch, self.total_iters) / self.total_iters
+        factor = self.start_factor + (self.end_factor - self.start_factor) * t
+        return self.base_lr * factor
+
+
+class CosineAnnealingLR(LRScheduler):
+    def __init__(self, base_lr, T_max: int, eta_min: float = 0.0):
+        super().__init__(base_lr)
+        self.T_max = T_max
+        self.eta_min = eta_min
+
+    def _compute_lr(self, metric):
+        return self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * self.last_epoch / self.T_max)
+        ) / 2
+
+
+class ReduceLROnPlateau(LRScheduler):
+    """Torch-semantics plateau scheduler (the reference's default choice for
+    the PolyMNIST benchmark, ``global_config.py``)."""
+
+    needs_metric = True
+
+    def __init__(self, base_lr, mode: str = "min", factor: float = 0.1,
+                 patience: int = 10, threshold: float = 1e-4,
+                 threshold_mode: str = "rel", cooldown: int = 0,
+                 min_lr: float = 0.0, verbose: bool = False):
+        super().__init__(base_lr)
+        if mode not in ("min", "max"):
+            raise TypeError(f"mode must be 'min' or 'max', got {mode}")
+        self.mode = mode
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.threshold_mode = threshold_mode
+        self.cooldown = cooldown
+        self.min_lr = min_lr
+        self.best = math.inf if mode == "min" else -math.inf
+        self.num_bad_epochs = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, metric):
+        if self.mode == "min":
+            if self.threshold_mode == "rel":
+                return metric < self.best * (1 - self.threshold)
+            return metric < self.best - self.threshold
+        if self.threshold_mode == "rel":
+            return metric > self.best * (1 + self.threshold)
+        return metric > self.best + self.threshold
+
+    def _compute_lr(self, metric):
+        if metric is None:
+            return self.current_lr
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad_epochs = 0
+        elif self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+            if self.num_bad_epochs > self.patience:
+                self.num_bad_epochs = 0
+                self.cooldown_counter = self.cooldown
+                return max(self.current_lr * self.factor, self.min_lr)
+        return self.current_lr
+
+    def state_dict(self):
+        d = super().state_dict()
+        d.update(best=self.best, num_bad_epochs=self.num_bad_epochs,
+                 cooldown_counter=self.cooldown_counter)
+        return d
+
+    def load_state_dict(self, d):
+        super().load_state_dict(d)
+        self.best = d["best"]
+        self.num_bad_epochs = d["num_bad_epochs"]
+        self.cooldown_counter = d["cooldown_counter"]
+
+
+_SCHEDULERS = {
+    "StepLR": StepLR,
+    "MultiStepLR": MultiStepLR,
+    "ExponentialLR": ExponentialLR,
+    "LinearLR": LinearLR,
+    "CosineAnnealingLR": CosineAnnealingLR,
+    "ReduceLROnPlateau": ReduceLROnPlateau,
+}
+
+
+def make_scheduler(scheduler_cls: Optional[str], base_lr: float,
+                   scheduler_params: Optional[dict] = None):
+    """Build a scheduler by torch class name, or None."""
+    if scheduler_cls is None:
+        return None
+    if scheduler_cls not in _SCHEDULERS:
+        raise AttributeError(
+            f"Unable to build `{scheduler_cls}` scheduler. Available "
+            f"schedulers: {sorted(_SCHEDULERS)}"
+        )
+    try:
+        return _SCHEDULERS[scheduler_cls](base_lr, **(scheduler_params or {}))
+    except TypeError as e:
+        raise TypeError(
+            f"Error in scheduler's parameters for `{scheduler_cls}`: {e}"
+        ) from e

@@ -4,12 +4,16 @@ multi-device sharding via xla_force_host_platform_device_count)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: session env may point at TPU
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402  (pre-imported by sitecustomize; override config)
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

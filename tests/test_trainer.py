@@ -1,0 +1,225 @@
+"""Trainer tests, mirroring reference tests/test_trainer.py patterns."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from multivae_tpu.data import MultimodalBaseDataset
+from multivae_tpu.models import MVTCAE, MVTCAEConfig
+from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
+from multivae_tpu.trainers.base.optim import (
+    ReduceLROnPlateau,
+    StepLR,
+    make_optimizer,
+    make_scheduler,
+)
+
+
+@pytest.fixture
+def dataset():
+    rng = np.random.default_rng(0)
+    data = {
+        "mod1": rng.normal(size=(20, 2)).astype(np.float32),
+        "mod2": rng.normal(size=(20, 3)).astype(np.float32),
+    }
+    return MultimodalBaseDataset(data)
+
+
+@pytest.fixture
+def model():
+    config = MVTCAEConfig(
+        n_modalities=2, latent_dim=4,
+        input_dims={"mod1": (2,), "mod2": (3,)},
+    )
+    return MVTCAE(config, seed=0)
+
+
+def small_config(tmp_path, **kw):
+    defaults = dict(
+        output_dir=str(tmp_path), num_epochs=2,
+        per_device_train_batch_size=8, per_device_eval_batch_size=8,
+        learning_rate=1e-3, seed=3, n_devices=1,
+    )
+    defaults.update(kw)
+    return BaseTrainerConfig(**defaults)
+
+
+# ------------------------------------------------------------ config errors
+def test_unknown_optimizer_raises():
+    with pytest.raises(AttributeError):
+        BaseTrainerConfig(optimizer_cls="NotAnOptimizer")
+
+
+def test_bad_optimizer_params_raise():
+    with pytest.raises(TypeError):
+        BaseTrainerConfig(optimizer_cls="Adam",
+                          optimizer_params={"not_a_param": 1.0})
+
+
+def test_good_optimizer_params_accepted():
+    cfg = BaseTrainerConfig(optimizer_cls="Adam",
+                            optimizer_params={"betas": (0.9, 0.98)})
+    assert cfg.optimizer_params == {"betas": (0.9, 0.98)}
+
+
+def test_unknown_scheduler_raises():
+    with pytest.raises(AttributeError):
+        BaseTrainerConfig(scheduler_cls="NotAScheduler")
+
+
+def test_bad_scheduler_params_raise():
+    with pytest.raises(TypeError):
+        BaseTrainerConfig(scheduler_cls="StepLR",
+                          scheduler_params={"bad": 1})
+
+
+# --------------------------------------------------------------- schedulers
+def test_step_lr_schedule():
+    s = StepLR(1.0, step_size=2, gamma=0.1)
+    lrs = [s.step() for _ in range(5)]
+    np.testing.assert_allclose(lrs, [1.0, 0.1, 0.1, 0.01, 0.01])
+
+
+def test_reduce_on_plateau():
+    s = ReduceLROnPlateau(1.0, patience=1, factor=0.5)
+    assert s.step(10.0) == 1.0   # first metric becomes best
+    assert s.step(10.0) == 1.0   # bad epoch 1
+    assert s.step(10.0) == 0.5   # bad epoch 2 > patience -> reduce
+    assert s.step(1.0) == 0.5    # improvement
+
+
+def test_optimizer_state_roundtrip(model):
+    import flax.serialization as ser
+
+    opt = make_optimizer("Adam", 1e-3, {"betas": (0.9, 0.999)})
+    state = opt.init(model.params)
+    d = ser.to_state_dict(jax.tree.map(np.asarray, state))
+    blob = ser.msgpack_serialize(d)
+    restored = ser.from_state_dict(state, ser.msgpack_restore(blob))
+    assert float(restored.hyperparams["learning_rate"]) == pytest.approx(1e-3)
+
+
+# ------------------------------------------------------------- training runs
+def test_training_reduces_loss(model, dataset, tmp_path):
+    trainer = BaseTrainer(
+        model, dataset, eval_dataset=dataset,
+        training_config=small_config(tmp_path, num_epochs=5,
+                                     learning_rate=1e-2),
+    )
+    l0, _ = trainer.train_step(1)
+    for e in range(2, 6):
+        le, _ = trainer.train_step(e)
+    assert le < l0
+
+
+def test_full_train_loop_saves_final_model(model, dataset, tmp_path):
+    trainer = BaseTrainer(
+        model, dataset, eval_dataset=dataset,
+        training_config=small_config(tmp_path),
+    )
+    trainer.train()
+    final = os.path.join(trainer.training_dir, "final_model")
+    assert os.path.exists(os.path.join(final, "model.msgpack"))
+    assert os.path.exists(os.path.join(final, "training_config.json"))
+
+    loaded = MVTCAE.load_from_folder(final)
+    assert loaded.model_config.latent_dim == 4
+
+
+def test_checkpoint_saving_and_resume(model, dataset, tmp_path):
+    cfg = small_config(tmp_path, num_epochs=2, steps_saving=1,
+                       scheduler_cls="StepLR",
+                       scheduler_params={"step_size": 1, "gamma": 0.5})
+    trainer = BaseTrainer(model, dataset, eval_dataset=dataset,
+                          training_config=cfg)
+    trainer.train()
+    ckpt = os.path.join(trainer.training_dir, "checkpoint_epoch_2")
+    assert os.path.exists(os.path.join(ckpt, "optimizer.msgpack"))
+    assert os.path.exists(os.path.join(ckpt, "scheduler.json"))
+    assert os.path.exists(os.path.join(ckpt, "info_checkpoint.json"))
+
+    # Resume for 2 more epochs
+    cfg2 = small_config(tmp_path, num_epochs=4, steps_saving=None,
+                        scheduler_cls="StepLR",
+                        scheduler_params={"step_size": 1, "gamma": 0.5})
+    model2 = MVTCAE(model.model_config, seed=0)
+    trainer2 = BaseTrainer(model2, dataset, eval_dataset=dataset,
+                           training_config=cfg2, checkpoint=ckpt)
+    assert trainer2.trained_epochs == 2
+    # resumed scheduler has already stepped twice
+    assert trainer2.scheduler.last_epoch == 2
+    trainer2.train()
+
+
+def test_scheduler_changes_lr_during_training(model, dataset, tmp_path):
+    cfg = small_config(tmp_path, num_epochs=3, learning_rate=1e-3,
+                       scheduler_cls="ExponentialLR",
+                       scheduler_params={"gamma": 0.1})
+    trainer = BaseTrainer(model, dataset, training_config=cfg)
+    assert trainer.current_learning_rate == pytest.approx(1e-3)
+    trainer.train()
+    assert trainer.current_learning_rate == pytest.approx(1e-6)
+
+
+def test_predictions_are_generated(model, dataset, tmp_path):
+    cfg = small_config(tmp_path, num_epochs=1, steps_predict=1)
+    trainer = BaseTrainer(model, dataset, training_config=cfg)
+    trainer.train()
+    files = os.listdir(trainer.training_dir)
+    assert any(f.startswith("recon_from_") and f.endswith(".png")
+               for f in files)
+
+
+def test_multi_device_data_parallel_training(model, dataset, tmp_path):
+    """DP over the 8 virtual CPU devices (replaces the reference's env-var
+    only DDP test, SURVEY §4)."""
+    assert len(jax.devices()) == 8
+    cfg = small_config(tmp_path, num_epochs=2, n_devices=8,
+                       per_device_train_batch_size=2)
+    trainer = BaseTrainer(model, dataset, eval_dataset=dataset,
+                          training_config=cfg)
+    assert trainer.n_data_devices == 8
+    l1, _ = trainer.train_step(1)
+    l2, _ = trainer.train_step(2)
+    assert np.isfinite(l1) and np.isfinite(l2)
+
+
+def test_dp_loss_matches_single_device(dataset, tmp_path):
+    """The sharded loss must equal the single-device loss on the same batch."""
+    cfg_model = MVTCAEConfig(
+        n_modalities=2, latent_dim=4,
+        input_dims={"mod1": (2,), "mod2": (3,)},
+    )
+    m1 = MVTCAE(cfg_model, seed=5)
+    m8 = MVTCAE(cfg_model, seed=5)
+
+    t1 = BaseTrainer(m1, dataset, training_config=small_config(
+        tmp_path, n_devices=1, per_device_train_batch_size=16, seed=11))
+    t8 = BaseTrainer(m8, dataset, training_config=small_config(
+        tmp_path, n_devices=8, per_device_train_batch_size=2, seed=11))
+
+    l1, _ = t1.train_step(1)
+    l8, _ = t8.train_step(1)
+    assert l1 == pytest.approx(l8, rel=1e-4)
+
+
+def test_sanity_check_catches_bad_data(model, tmp_path):
+    rng = np.random.default_rng(1)
+    bad = MultimodalBaseDataset({
+        "mod1": rng.normal(size=(20, 7)).astype(np.float32),  # wrong dim
+        "mod2": rng.normal(size=(20, 3)).astype(np.float32),
+    })
+    with pytest.raises(ValueError):
+        BaseTrainer(model, bad, training_config=small_config(tmp_path))
+
+
+def test_trainer_rejects_multistage_models(dataset, tmp_path):
+    cfg = MVTCAEConfig(n_modalities=2, latent_dim=4,
+                       input_dims={"mod1": (2,), "mod2": (3,)})
+    m = MVTCAE(cfg)
+    m.reset_optimizer_epochs = [2]
+    with pytest.raises(AttributeError):
+        BaseTrainer(m, dataset, training_config=small_config(tmp_path))
