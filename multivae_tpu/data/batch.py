@@ -38,6 +38,10 @@ class MultimodalBatch:
     masks: Dict[str, jnp.ndarray]
     weights: jnp.ndarray
     labels: Optional[jnp.ndarray] = None
+    # static flag: did the source dataset declare masks (IncompleteDataset)?
+    # Models branch on this at trace time exactly where the reference checks
+    # ``hasattr(inputs, "masks")``.
+    incomplete: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def n_samples(self) -> int:
@@ -60,6 +64,7 @@ class MultimodalBatch:
             masks={m: self.masks[m] for m in mods},
             weights=self.weights,
             labels=self.labels,
+            incomplete=self.incomplete,
         )
 
 
@@ -93,8 +98,11 @@ def _leading_dim(value) -> int:
 
 
 def batch_from_arrays(data: dict, masks: Optional[dict] = None, labels=None,
-                      weights=None, dtype=jnp.float32) -> MultimodalBatch:
+                      weights=None, dtype=jnp.float32,
+                      incomplete: Optional[bool] = None) -> MultimodalBatch:
     """Build a MultimodalBatch from numpy/jnp arrays, filling defaults."""
+    if incomplete is None:
+        incomplete = masks is not None
     data = {
         k: ({kk: jnp.asarray(vv) for kk, vv in v.items()}
             if isinstance(v, dict) else jnp.asarray(v))
@@ -111,4 +119,5 @@ def batch_from_arrays(data: dict, masks: Optional[dict] = None, labels=None,
         weights = jnp.asarray(weights).astype(dtype)
     if labels is not None:
         labels = jnp.asarray(labels)
-    return MultimodalBatch(data=data, masks=masks, weights=weights, labels=labels)
+    return MultimodalBatch(data=data, masks=masks, weights=weights,
+                           labels=labels, incomplete=bool(incomplete))

@@ -82,8 +82,9 @@ class DataLoader:
             idx = perm[b * bs: (b + 1) * bs]
             pad = bs - len(idx)
             if pad:
-                # wrap-around padding; pads carry zero weight
-                idx = np.concatenate([idx, perm[:pad]])
+                # wrap-around padding (cycling if pad > dataset size);
+                # pads carry zero weight
+                idx = np.concatenate([idx, np.resize(perm, pad)])
             # carve out this process's slice of the global batch
             lo = self.process_index * local
             local_idx = idx[lo: lo + local]

@@ -430,6 +430,50 @@ class BaseMultiVAE(BaseModel):
                           batch_size_K: int = 100):
         raise NotImplementedError
 
+    def _gaussian_iwae_joint_nll(self, params, batch: MultimodalBatch,
+                                 joint_mu, joint_log_var, rng, K: int,
+                                 batch_size_K: int):
+        """Shared K-sample IWAE NLL for models with a Gaussian joint
+        posterior (MVTCAE/MVAE/MoPoE-style: sample z ~ q(z|X), weight by
+        p(X|z)p(z)/q(z|X)). One chunked scan over K; the reference's nested
+        per-datapoint host loops (e.g. ``mvtcae_model.py:250-289``) become
+        one compiled program."""
+        from ...ops.gaussian import gaussian_log_prob, rsample_from_gaussian
+        from ...ops.iwae import iwae_log_marginal
+
+        def logw_chunk(rng, chunk: int):
+            z = rsample_from_gaussian(rng, joint_mu, joint_log_var, N=chunk)
+            lpx_z = 0.0
+            for m in self.decoders:
+                recon = self.decode_mod(params, m, z)
+                lpx_z = lpx_z + sum_except_batch(
+                    self.recon_log_probs[m](recon, batch.data[m][None]),
+                    batch_ndims=2,
+                )
+            lpz = jnp.sum(
+                gaussian_log_prob(z, jnp.zeros_like(z), jnp.zeros_like(z)),
+                axis=-1,
+            )
+            lqz = jnp.sum(
+                gaussian_log_prob(z, joint_mu[None], joint_log_var[None]),
+                axis=-1,
+            )
+            return lpx_z + lpz - lqz
+
+        ln_px = iwae_log_marginal(logw_chunk, rng, K, batch_size_K)
+        return -jnp.sum(ln_px)
+
+    def _check_complete_for_nll(self, inputs):
+        incomplete = (
+            inputs.incomplete if isinstance(inputs, MultimodalBatch)
+            else getattr(inputs, "masks", None) is not None
+        )
+        if incomplete:
+            raise AttributeError(
+                "The compute_joint_nll method is not yet implemented for "
+                "incomplete datasets."
+            )
+
     def compute_cond_nll(self, inputs, subset, pred_mods,
                          k_iwae: int = 1000, batch_size_k: int = 100,
                          rng=None) -> Dict[str, jnp.ndarray]:

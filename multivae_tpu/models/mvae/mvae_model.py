@@ -1,0 +1,231 @@
+"""MVAE: PoE over modality subsets with sub-sampled ELBO training, TPU-native.
+
+Behavior parity with reference ``src/multivae/models/mvae/mvae_model.py``.
+TPU-first redesign of the subset machinery (SURVEY §7.1): every subset ELBO
+is computed from one generic ``(subset row of a precomputed mask matrix)``
+function, vmapped over the chosen subsets inside one compiled program. The
+reference instead re-encodes per subset in a Python loop (``mvae_model.py:
+159-200``) and *filters batch rows* for incomplete data
+(``_filter_inputs_with_masks :115``); here filtering becomes a weighted
+masked mean with identical normalization (weights = any-available x pad
+weight).
+
+Random subset selection (reference draws k subsets with numpy per step,
+``:168-172``) is folded into the step RNG with ``jax.random.choice`` so the
+compiled program is fixed-shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...data.batch import MultimodalBatch, as_batch
+from ...ops.gaussian import rsample_from_gaussian, stable_poe
+from ...ops.subsets import all_subsets, subsets_to_mask
+from ...utils.model_output import ModelOutput
+from ..base.base_ae_model import BaseMultiVAE, sum_except_batch
+from ..base.step import StepInfo
+from .mvae_config import MVAEConfig
+
+
+class MVAE(BaseMultiVAE):
+    """The Multi-modal VAE (PoE) model."""
+
+    model_name = "MVAE"
+
+    def __init__(self, model_config: MVAEConfig, encoders: dict = None,
+                 decoders: dict = None, seed: int = 0):
+        super().__init__(model_config, encoders, decoders, seed=seed)
+        self.subsampling = model_config.use_subsampling
+        self.k = model_config.k
+        if self.n_modalities <= 2:
+            self.k = 0
+        self.warmup = model_config.warmup
+        self.start_keep_best_epoch = model_config.warmup + 1
+        self.beta = model_config.beta
+
+        mods = list(self.encoders.keys())
+        # random-candidate subsets: sizes 2..M-1 (reference ``_set_subsets``)
+        self.subsets = [s for s in all_subsets(mods, include_full=False)
+                        if len(s) >= 2]
+        self._random_subset_mask = jnp.asarray(
+            subsets_to_mask(self.subsets, mods)
+        ) if self.subsets else None
+        self._mods = mods
+        self.init_params()
+
+    # -------------------------------------------------------- subset pieces
+    def _subset_posterior_from_stacked(self, mus, log_vars, mask, subset_row):
+        """PoE over the experts selected by ``subset_row`` + prior expert.
+
+        mus/log_vars: (M, B, D); mask: (M, B); subset_row: (M,).
+        The prior N(0, I) joins the product (reference ``:75-80``), and the
+        PoE is the logsumexp-stabilized form (reference uses ``stable_poe``).
+        """
+        eff_mask = mask * subset_row[:, None]  # (M, B)
+        prior_mu = jnp.zeros_like(mus[:1])
+        prior_lv = jnp.zeros_like(log_vars[:1])
+        all_mu = jnp.concatenate([mus, prior_mu], axis=0)
+        all_lv = jnp.concatenate([log_vars, prior_lv], axis=0)
+        all_mask = jnp.concatenate(
+            [eff_mask, jnp.ones_like(eff_mask[:1])], axis=0
+        )
+        return stable_poe(all_mu, all_lv, all_mask)
+
+    def _elbo_subset(self, params, batch, mus, log_vars, mask, subset_row,
+                     rng, beta):
+        """One subset ELBO with reference normalization.
+
+        Reference ``_compute_elbo_subset`` (``mvae_model.py:82-113``): the
+        ELBO is averaged over the samples that have at least one available
+        modality in the subset (the reference filters those rows out of the
+        batch; here they carry zero weight).
+        """
+        sub_mu, sub_lv = self._subset_posterior_from_stacked(
+            mus, log_vars, mask, subset_row
+        )
+        z = rsample_from_gaussian(rng, sub_mu, sub_lv)
+
+        # any-available filter (reference ``_filter_inputs_with_masks``)
+        avail = jnp.max(mask * subset_row[:, None], axis=0)  # (M,B)->(B,)
+        w = avail * batch.weights
+        n_eff = jnp.maximum(w.sum(), 1.0)
+
+        recon_total = 0.0
+        for i, m in enumerate(self._mods):
+            recon = self.decode_mod(params, m, z)
+            rec_m = sum_except_batch(
+                -self.recon_log_probs[m](recon, batch.data[m])
+                * self.rescale_factors[m]
+            )
+            rec_m = rec_m * batch.masks[m] * subset_row[i]
+            recon_total = recon_total + (rec_m * w).sum()
+
+        kld_per_sample = -0.5 * jnp.sum(
+            1.0 + sub_lv - sub_mu**2 - jnp.exp(sub_lv), axis=-1
+        )
+        kld = (kld_per_sample * w).sum()
+        elbo = (recon_total + beta * kld) / n_eff
+        return elbo, kld / n_eff, recon_total / n_eff, w.sum()
+
+    # ----------------------------------------------------------------- loss
+    def loss_function(self, params, batch: MultimodalBatch, rng,
+                      step: StepInfo, training: bool = True) -> ModelOutput:
+        """Reference ``forward`` (``mvae_model.py:137-204``)."""
+        # per-batch beta annealing (reference ``:155-160``)
+        beta = jnp.where(
+            step.epoch >= self.warmup,
+            self.beta,
+            (step.epoch - 1.0 + step.batch_ratio)
+            / max(self.warmup, 1) * self.beta,
+        )
+
+        mus, log_vars, mask = self.stacked_gaussian_params(params, batch)
+        M = self.n_modalities
+        mods = self._mods
+
+        metrics = {"beta": beta}
+        total_loss = 0.0
+        n_eff_last = jnp.asarray(batch.weights.sum())
+
+        rng, *sub_rngs = jax.random.split(rng, 2 + M + max(self.k, 0))
+        rng_iter = iter(sub_rngs)
+
+        # joint subset
+        joint_row = jnp.ones((M,), jnp.float32)
+        elbo, kld, rec, n_eff = self._elbo_subset(
+            params, batch, mus, log_vars, mask, joint_row, next(rng_iter), beta
+        )
+        joint_name = "_".join(sorted(mods))
+        metrics[joint_name] = elbo
+        metrics["kld" + joint_name] = kld
+        metrics["recon" + joint_name] = rec
+        total_loss = total_loss + elbo
+        n_eff_last = n_eff
+
+        if self.subsampling:
+            # unimodal subsets
+            for i, m in enumerate(mods):
+                row = jnp.zeros((M,), jnp.float32).at[i].set(1.0)
+                elbo, kld, rec, n_eff = self._elbo_subset(
+                    params, batch, mus, log_vars, mask, row, next(rng_iter),
+                    beta,
+                )
+                metrics[m] = elbo
+                metrics["kld" + m] = kld
+                metrics["recon" + m] = rec
+                total_loss = total_loss + elbo
+                n_eff_last = n_eff
+
+            # k random subsets, chosen inside the program from the step RNG
+            if self.k > 0 and training and self._random_subset_mask is not None:
+                rng, choice_rng = jax.random.split(rng)
+                idx = jax.random.choice(
+                    choice_rng, self._random_subset_mask.shape[0],
+                    shape=(self.k,), replace=False,
+                )
+                rows = self._random_subset_mask[idx]  # (k, M)
+                for j in range(self.k):
+                    elbo, kld, rec, n_eff = self._elbo_subset(
+                        params, batch, mus, log_vars, mask, rows[j],
+                        next(rng_iter), beta,
+                    )
+                    metrics[f"random_subset_{j}"] = elbo
+                    total_loss = total_loss + elbo
+                    n_eff_last = n_eff
+
+        return ModelOutput(
+            loss=total_loss, loss_sum=total_loss * n_eff_last, metrics=metrics
+        )
+
+    def eval_loss_function(self, params, batch, rng, step) -> ModelOutput:
+        """Eval objective: no random subsets (reference gates on
+        ``self.training``, ``mvae_model.py:168``)."""
+        return self.loss_function(params, batch, rng, step, training=False)
+
+    # --------------------------------------------------------------- encode
+    def _encode_subset(self, params, batch: MultimodalBatch, rng, *,
+                       cond_mod: tuple, N: int, return_mean: bool,
+                       flatten: bool) -> dict:
+        """Reference ``encode`` (``mvae_model.py:206-238``)."""
+        mus, log_vars, mask = self.stacked_gaussian_params(
+            params, batch, mods=cond_mod
+        )
+        row = jnp.ones((len(cond_mod),), jnp.float32)
+        sub_mu, sub_lv = self._subset_posterior_from_stacked(
+            mus, log_vars, mask, row
+        )
+        z = rsample_from_gaussian(rng, sub_mu, sub_lv, N=N,
+                                  return_mean=return_mean, flatten=flatten)
+        return {"z": z}
+
+    # ------------------------------------------------------------ joint NLL
+    def compute_joint_nll(self, inputs, K: int = 1000,
+                          batch_size_K: int = 100, rng=None):
+        """Reference ``compute_joint_nll`` (``mvae_model.py:240-319``)."""
+        batch = as_batch(inputs)
+        self._check_complete_for_nll(inputs)
+        params = self._ensure_params()
+        if rng is None:
+            rng = self.next_rng()
+        fn = self._jit(
+            ("joint_nll", K, batch_size_K),
+            partial(self._joint_nll, K=K, batch_size_K=batch_size_K),
+        )
+        return fn(params, batch, rng)
+
+    def _joint_nll(self, params, batch, rng, *, K, batch_size_K):
+        mus, log_vars, mask = self.stacked_gaussian_params(params, batch)
+        row = jnp.ones((self.n_modalities,), jnp.float32)
+        joint_mu, joint_lv = self._subset_posterior_from_stacked(
+            mus, log_vars, mask, row
+        )
+        return self._gaussian_iwae_joint_nll(
+            params, batch, joint_mu, joint_lv, rng, K, batch_size_K
+        )

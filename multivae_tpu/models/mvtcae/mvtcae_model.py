@@ -16,8 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ...data.batch import MultimodalBatch, as_batch
-from ...ops.gaussian import gaussian_log_prob, masked_poe, rsample_from_gaussian
-from ...ops.iwae import iwae_log_marginal
+from ...ops.gaussian import masked_poe, rsample_from_gaussian
 from ...utils.model_output import ModelOutput
 from ..base.base_ae_model import BaseMultiVAE, sum_except_batch
 from ..base.step import StepInfo
@@ -131,11 +130,7 @@ class MVTCAE(BaseMultiVAE):
         loop there; one compiled scan here).
         """
         batch = as_batch(inputs)
-        if hasattr(inputs, "masks") and getattr(inputs, "masks", None) is not None:
-            raise AttributeError(
-                "The compute_joint_nll method is not yet implemented for "
-                "incomplete datasets."
-            )
+        self._check_complete_for_nll(inputs)
         params = self._ensure_params()
         if rng is None:
             rng = self.next_rng()
@@ -148,26 +143,6 @@ class MVTCAE(BaseMultiVAE):
     def _joint_nll(self, params, batch: MultimodalBatch, rng, *, K: int,
                    batch_size_K: int):
         joint_mu, joint_log_var, _ = self._joint_posterior(params, batch)
-
-        def logw_chunk(rng, chunk: int):
-            z = rsample_from_gaussian(rng, joint_mu, joint_log_var, N=chunk)
-            # z: (chunk, B, D)
-            lpx_z = 0.0
-            for m in self.decoders:
-                recon = self.decode_mod(params, m, z)
-                lpx_z = lpx_z + sum_except_batch(
-                    self.recon_log_probs[m](recon, batch.data[m][None]),
-                    batch_ndims=2,
-                )
-            lpz = jnp.sum(
-                gaussian_log_prob(z, jnp.zeros_like(z), jnp.zeros_like(z)),
-                axis=-1,
-            )
-            lqz_xy = jnp.sum(
-                gaussian_log_prob(z, joint_mu[None], joint_log_var[None]),
-                axis=-1,
-            )
-            return lpx_z + lpz - lqz_xy  # (chunk, B)
-
-        ln_px = iwae_log_marginal(logw_chunk, rng, K, batch_size_K)
-        return -jnp.sum(ln_px)
+        return self._gaussian_iwae_joint_nll(
+            params, batch, joint_mu, joint_log_var, rng, K, batch_size_K
+        )

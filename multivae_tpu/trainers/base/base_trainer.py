@@ -259,8 +259,11 @@ class BaseTrainer:
         rep = replicated_sharding(self.mesh)
         bsh = batch_sharding(self.mesh)
 
+        loss_function = getattr(model, "eval_loss_function",
+                                model.loss_function)
+
         def eval_fn(params, batch, rng, info):
-            out = model.loss_function(params, batch, rng, info)
+            out = loss_function(params, batch, rng, info)
             return {"loss_sum": out["loss_sum"],
                     "metrics": out.get("metrics", {})}
 
