@@ -1,0 +1,79 @@
+"""MultistageTrainer: optimizer resets at stage boundaries.
+
+Reference: ``src/multivae/trainers/multistage/multistage_trainer.py``. At
+each epoch in ``model.reset_optimizer_epochs``: checkpoint the best model,
+restore its weights into the live model, reset the optimizer/scheduler and
+the best-loss trackers. Additionally (TPU-specific), models that change
+their compiled objective across stages expose ``stage_for_epoch``/
+``set_stage``; when the stage flips, the compiled train/eval programs are
+rebuilt (static-branch staging instead of torch's dynamic ``epoch <=
+warmup`` checks inside forward).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from ..base.base_trainer import BaseTrainer, TrainState
+from ..base.optim import make_optimizer, make_scheduler
+
+logger = logging.getLogger(__name__)
+logger.setLevel(logging.INFO)
+
+
+class MultistageTrainer(BaseTrainer):
+    """Trainer for two-stage models (TELBO, JNF)."""
+
+    def checktrainer(self, model):
+        return
+
+    def _invalidate_compiled(self):
+        self._train_step_fn = None
+        self._eval_step_fn = None
+
+    def prepare_train_step(self, epoch, best_train_loss, best_eval_loss):
+        """Reference ``prepare_train_step``
+        (``multistage_trainer.py:53-71``)."""
+        model = self.model
+        stage_changed = False
+        if hasattr(model, "stage_for_epoch"):
+            stage_changed = model.set_stage(model.stage_for_epoch(epoch))
+
+        if epoch in getattr(model, "reset_optimizer_epochs", []):
+            logger.info("Epoch %s : reset the optimizer and losses.", epoch)
+            logger.info(
+                "Keeping the best model obtained until here for the rest of "
+                "training."
+            )
+            if self.is_main_process:
+                self.save_checkpoint(dir_path=self.training_dir,
+                                     epoch=epoch - 1)
+            params = jax.tree.map(jnp.copy, self.best_params)
+            model.params = params
+            self.optimizer = make_optimizer(
+                self.training_config.optimizer_cls,
+                self.training_config.learning_rate,
+                self.training_config.optimizer_params,
+            )
+            self.scheduler = make_scheduler(
+                self.training_config.scheduler_cls,
+                self.training_config.learning_rate,
+                self.training_config.scheduler_params,
+            )
+            self.state = TrainState(
+                params=params,
+                opt_state=self.optimizer.init(params),
+                rng=self.state.rng,
+                step=self.state.step,
+            )
+            self._best_params = None
+            best_train_loss = 1e12
+            best_eval_loss = 1e12
+            stage_changed = True
+
+        if stage_changed:
+            self._invalidate_compiled()
+        return best_train_loss, best_eval_loss
