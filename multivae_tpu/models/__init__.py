@@ -4,10 +4,13 @@ from .crmvae import CRMVAE, CRMVAEConfig
 from .cvae import CVAE, CVAEConfig
 from .dmvae import DMVAE, DMVAEConfig
 from .jmvae import JMVAE, JMVAEConfig
+from .jnf import JNF, JNFConfig
 from .joint_models import BaseJointModel, BaseJointModelConfig
+from .mhvae import MHVAE, MHVAEConfig
 from .mmvae import MMVAE, MMVAEConfig
 from .mmvaePlus import MMVAEPlus, MMVAEPlusConfig
 from .mopoe import MoPoE, MoPoEConfig
+from .nexus import Nexus, NexusConfig
 from .mvae import MVAE, MVAEConfig
 from .mvtcae import MVTCAE, MVTCAEConfig
 from .telbo import TELBO, TELBOConfig
@@ -28,12 +31,18 @@ __all__ = [
     "JMVAEConfig",
     "BaseJointModel",
     "BaseJointModelConfig",
+    "JNF",
+    "JNFConfig",
+    "MHVAE",
+    "MHVAEConfig",
     "MMVAE",
     "MMVAEConfig",
     "MMVAEPlus",
     "MMVAEPlusConfig",
     "MoPoE",
     "MoPoEConfig",
+    "Nexus",
+    "NexusConfig",
     "MVAE",
     "MVAEConfig",
     "MVTCAE",
