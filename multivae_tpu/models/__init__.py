@@ -1,3 +1,4 @@
+from .auto_model import AutoConfig, AutoModel
 from .base import BaseModel, BaseMultiVAE, BaseMultiVAEConfig
 from .cmvae import CMVAE, CMVAEConfig
 from .crmvae import CRMVAE, CRMVAEConfig
@@ -16,6 +17,8 @@ from .mvtcae import MVTCAE, MVTCAEConfig
 from .telbo import TELBO, TELBOConfig
 
 __all__ = [
+    "AutoConfig",
+    "AutoModel",
     "BaseModel",
     "BaseMultiVAE",
     "BaseMultiVAEConfig",

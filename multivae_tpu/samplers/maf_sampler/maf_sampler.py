@@ -1,0 +1,164 @@
+"""MAF sampler: fit a masked autoregressive flow per latent space.
+
+Reference: ``src/multivae/samplers/maf_sampler/maf_sampler.py`` (which
+trains pythae MAF flows with pythae's trainer). Here the flows are our own
+``ops.flows.MAF`` modules trained with a small jitted optax loop on the
+encoded latents.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+
+from ...ops.flows import MAF
+from ...utils.model_output import ModelOutput
+from ..base.base_sampler import BaseSampler
+from .maf_sampler_config import MAFSamplerConfig
+
+logger = logging.getLogger(__name__)
+
+
+class MAFSampler(BaseSampler):
+    """Fits one MAF per latent space (shared + per-modality private)."""
+
+    flow_class = MAF
+    name = "MAFSampler"
+
+    def __init__(self, model, sampler_config=None):
+        if sampler_config is None:
+            sampler_config = MAFSamplerConfig()
+        super().__init__(model, sampler_config)
+
+        self.flows_dims = dict(shared=model.model_config.latent_dim)
+        if self.model.multiple_latent_spaces:
+            self.flows_dims.update(self.model.style_dims)
+
+        self.flows_models = {
+            key: self.flow_class(
+                input_dim=int(dim),
+                n_made_blocks=sampler_config.n_made_blocks,
+                hidden_size=sampler_config.hidden_size,
+                n_hidden_in_made=sampler_config.n_hidden_in_made,
+            )
+            for key, dim in self.flows_dims.items()
+        }
+        self.flow_params = {}
+
+    # ------------------------------------------------------------------ fit
+    def _fit_one_flow(self, key, data: np.ndarray, num_epochs: int,
+                      batch_size: int, learning_rate: float, rng):
+        flow = self.flows_models[key]
+        params = flow.init(rng, jnp.zeros((1, self.flows_dims[key])))
+
+        opt = optax.adam(learning_rate)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, batch):
+            def nll(p):
+                return -flow.apply(p, batch,
+                                   method=type(flow).log_prob).mean()
+
+            loss, grads = jax.value_and_grad(nll)(params)
+            updates, opt_state_ = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state_, loss
+
+        n = data.shape[0]
+        idx_rng = np.random.default_rng(0)
+        for epoch in range(num_epochs):
+            perm = idx_rng.permutation(n)
+            for b in range(0, n, batch_size):
+                batch = jnp.asarray(data[perm[b:b + batch_size]])
+                params, opt_state, loss = step(params, opt_state, batch)
+        logger.info("Flow '%s' fitted, final nll=%.4f", key, float(loss))
+        return params
+
+    def fit(self, train_data, eval_data=None, num_epochs: int = 10,
+            batch_size: int = 100, learning_rate: float = 1e-3, rng=None,
+            **kwargs):
+        """Encode the train set and fit one flow per latent space
+        (reference ``maf_sampler.py:71-146``)."""
+        if rng is None:
+            rng = jax.random.key(0)
+        z, mod_z = self._collect_latents(train_data, batch_size=batch_size)
+        latents = {"shared": z}
+        if mod_z is not None:
+            latents.update(mod_z)
+
+        rngs = jax.random.split(rng, len(latents))
+        for i, key in enumerate(self.flows_models):
+            self.flow_params[key] = self._fit_one_flow(
+                key, latents[key], num_epochs, batch_size, learning_rate,
+                rngs[i],
+            )
+        self.is_fitted = True
+
+    # --------------------------------------------------------------- sample
+    def sample(self, n_samples: int = 1, batch_size: int = 500, rng=None,
+               **kwargs) -> ModelOutput:
+        """u ~ N(0, I) -> flow.inverse (reference ``:148-205``)."""
+        if not self.is_fitted:
+            raise ArithmeticError(
+                "The sampler needs to be fitted by calling sampler.fit() "
+                "method before sampling."
+            )
+        if rng is None:
+            rng = self.model.next_rng()
+
+        z_gen = {}
+        rngs = jax.random.split(rng, len(self.flows_models))
+        for i, key in enumerate(self.flows_models):
+            flow = self.flows_models[key]
+            u = jax.random.normal(rngs[i],
+                                  (n_samples, self.flows_dims[key]))
+            out = flow.apply(self.flow_params[key], u,
+                             method=type(flow).inverse)
+            z_gen[key] = out["out"]
+
+        output = ModelOutput(
+            z=z_gen.pop("shared"),
+            one_latent_space=not self.model.multiple_latent_spaces,
+        )
+        if self.model.multiple_latent_spaces:
+            output["modalities_z"] = z_gen
+        return output
+
+    # ------------------------------------------------------------ save/load
+    def save(self, dir_path: str):
+        """Save config + fitted flow params (reference ``:207-222``)."""
+        super().save(dir_path)
+        if not self.is_fitted:
+            raise ArithmeticError(
+                "The sampler needs to be fitted by calling sampler.fit() "
+                "method before sampling."
+            )
+        for key, params in self.flow_params.items():
+            path = os.path.join(dir_path, key)
+            os.makedirs(path, exist_ok=True)
+            host = jax.tree.map(np.asarray, params)
+            with open(os.path.join(path, "flow.msgpack"), "wb") as f:
+                f.write(serialization.msgpack_serialize(host))
+
+    def load_flows_from_folder(self, dir_path: str):
+        """Reload fitted flows instead of calling fit
+        (reference ``:207-227``)."""
+        for key in self.flows_models:
+            path = os.path.join(dir_path, key, "flow.msgpack")
+            try:
+                with open(path, "rb") as f:
+                    restored = serialization.msgpack_restore(f.read())
+                self.flow_params[key] = jax.tree.map(jnp.asarray, restored)
+            except Exception as exc:
+                raise AttributeError(
+                    "Error when trying to load the flows from the folder. "
+                    f"Check that you provided the right path. Exception: {exc}"
+                ) from exc
+        self.is_fitted = True

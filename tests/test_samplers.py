@@ -1,0 +1,150 @@
+"""Tests for GMM / MAF / IAF samplers and AutoModel."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from model_test_utils import DIMS, make_dataset
+from multivae_tpu.models import (
+    AutoModel,
+    MMVAEPlus,
+    MMVAEPlusConfig,
+    MVTCAE,
+    MVTCAEConfig,
+)
+from multivae_tpu.samplers import (
+    GaussianMixtureSampler,
+    GaussianMixtureSamplerConfig,
+    IAFSampler,
+    MAFSampler,
+    MAFSamplerConfig,
+)
+
+LATENT = 4
+
+
+@pytest.fixture
+def model():
+    return MVTCAE(MVTCAEConfig(n_modalities=3, latent_dim=LATENT,
+                               input_dims=DIMS))
+
+
+@pytest.fixture
+def multilatent_model():
+    return MMVAEPlus(MMVAEPlusConfig(
+        n_modalities=3, latent_dim=LATENT, input_dims=DIMS, K=2,
+        modalities_specific_dim=3,
+    ))
+
+
+def test_gmm_sampler_fit_and_sample(model):
+    ds = make_dataset("complete", n=20)
+    sampler = GaussianMixtureSampler(
+        model, GaussianMixtureSamplerConfig(n_components=3))
+    sampler.fit(ds)
+    out = sampler.sample(11)
+    assert out.z.shape == (11, LATENT)
+    assert out.one_latent_space
+    decoded = model.decode(out, "mod1")
+    assert decoded.mod1.shape == (11, *DIMS["mod1"])
+
+
+def test_gmm_sampler_multilatent(multilatent_model):
+    ds = make_dataset("complete", n=20)
+    sampler = GaussianMixtureSampler(
+        multilatent_model, GaussianMixtureSamplerConfig(n_components=2))
+    sampler.fit(ds)
+    out = sampler.sample(5)
+    assert not out.one_latent_space
+    assert out.modalities_z["mod2"].shape == (5, 3)
+    decoded = multilatent_model.decode(out, "mod2")
+    assert decoded.mod2.shape == (5, *DIMS["mod2"])
+
+
+def test_gmm_sampler_unfitted_raises(model):
+    sampler = GaussianMixtureSampler(model)
+    with pytest.raises(ArithmeticError):
+        sampler.sample(3)
+
+
+def test_gmm_reduces_components_when_few_samples(model):
+    ds = make_dataset("complete", n=4)
+    sampler = GaussianMixtureSampler(
+        model, GaussianMixtureSamplerConfig(n_components=10))
+    sampler.fit(ds)
+    assert sampler.n_components == 4
+
+
+@pytest.mark.parametrize("sampler_cls", [MAFSampler, IAFSampler])
+def test_flow_samplers(model, sampler_cls, tmp_path):
+    ds = make_dataset("complete", n=20)
+    cfg_kwargs = dict(n_made_blocks=1, hidden_size=16, n_hidden_in_made=1)
+    cfg = (MAFSamplerConfig(**cfg_kwargs) if sampler_cls is MAFSampler
+           else None)
+    sampler = sampler_cls(model, cfg)
+    sampler.fit(ds, num_epochs=2, batch_size=10)
+    out = sampler.sample(7)
+    assert out.z.shape == (7, LATENT)
+    assert np.all(np.isfinite(np.asarray(out.z)))
+
+    # save / reload flows
+    d = str(tmp_path / "sampler")
+    sampler.save(d)
+    sampler2 = sampler_cls(model, cfg)
+    sampler2.load_flows_from_folder(d)
+    assert sampler2.is_fitted
+    out2 = sampler2.sample(3, rng=jax.random.key(0))
+    out3 = sampler.sample(3, rng=jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(out2.z), np.asarray(out3.z),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_maf_sampler_multilatent(multilatent_model):
+    ds = make_dataset("complete", n=12)
+    sampler = MAFSampler(multilatent_model, MAFSamplerConfig(
+        n_made_blocks=1, hidden_size=8, n_hidden_in_made=1))
+    sampler.fit(ds, num_epochs=1, batch_size=6)
+    out = sampler.sample(4)
+    assert out.z.shape == (4, LATENT)
+    assert out.modalities_z["mod1"].shape == (4, 3)
+
+
+def test_automodel_roundtrip(model, tmp_path):
+    d = str(tmp_path / "m")
+    model.save(d)
+    loaded = AutoModel.load_from_folder(d)
+    assert type(loaded).__name__ == "MVTCAE"
+    same = jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
+        model.params, loaded.params,
+    ))
+    assert same
+
+
+def test_automodel_all_families(tmp_path):
+    """Every registered family must round-trip through AutoModel."""
+    from multivae_tpu.models import (
+        CRMVAE, CRMVAEConfig, JMVAE, JMVAEConfig, MVAE, MVAEConfig,
+    )
+
+    for i, (cls, cfg_cls) in enumerate([
+        (MVAE, MVAEConfig), (CRMVAE, CRMVAEConfig), (JMVAE, JMVAEConfig),
+    ]):
+        m = cls(cfg_cls(n_modalities=3, latent_dim=3, input_dims=DIMS))
+        d = str(tmp_path / f"fam{i}")
+        m.save(d)
+        loaded = AutoModel.load_from_folder(d)
+        assert type(loaded) is cls
+
+
+def test_automodel_corrupted_config_raises(tmp_path):
+    import json
+    import os
+
+    d = str(tmp_path / "bad")
+    os.makedirs(d)
+    with open(os.path.join(d, "model_config.json"), "w") as f:
+        json.dump({"name": "NotARealConfig"}, f)
+    with pytest.raises(NameError):
+        AutoModel.load_from_folder(d)
