@@ -1,0 +1,24 @@
+"""Evaluator base config (reference
+``src/multivae/metrics/base/evaluator_config.py``)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pydantic.dataclasses import dataclass
+
+from ...utils.config import BaseConfig
+
+
+@dataclass
+class EvaluatorConfig(BaseConfig):
+    """Base config for evaluation modules.
+
+    Args:
+        batch_size: evaluation batch size.
+        wandb_path: 'entity/project/run_id' to resume logging into an
+            existing wandb run (requires the optional wandb package).
+    """
+
+    batch_size: int = 512
+    wandb_path: Optional[str] = None

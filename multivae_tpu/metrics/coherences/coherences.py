@@ -1,0 +1,172 @@
+"""Coherence evaluator: cross-modal + joint generation coherence.
+
+Reference: ``src/multivae/metrics/coherences/coherences.py``. Classifier
+accuracy (torchmetrics MulticlassAccuracy(average=None) there) is a simple
+per-class confusion count here. Classifiers are arbitrary callables mapping
+a generated modality batch to class logits (e.g. a bound flax module).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ...utils.model_output import ModelOutput
+from ..base.evaluator_class import Evaluator
+from .coherences_config import CoherenceEvaluatorConfig
+
+
+class _PerClassAccuracy:
+    """Running per-class accuracy (recall per true class)."""
+
+    def __init__(self, num_classes: int):
+        self.correct = np.zeros(num_classes)
+        self.total = np.zeros(num_classes)
+        self.num_classes = num_classes
+
+    def update(self, preds_logits, labels):
+        preds = np.argmax(np.asarray(preds_logits), axis=-1).ravel()
+        labels = np.asarray(labels).astype(int).ravel()
+        for c in range(self.num_classes):
+            sel = labels == c
+            self.total[c] += sel.sum()
+            self.correct[c] += (preds[sel] == c).sum()
+
+    def compute(self):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            acc = np.where(self.total > 0, self.correct / self.total, 0.0)
+        return acc
+
+
+class CoherenceEvaluator(Evaluator):
+    """Cross and joint coherence via pretrained classifiers."""
+
+    def __init__(self, model, classifiers: Dict, test_dataset,
+                 output: Optional[str] = None, eval_config=None,
+                 sampler=None):
+        if eval_config is None:
+            eval_config = CoherenceEvaluatorConfig()
+        super().__init__(model, test_dataset, output, eval_config, sampler)
+        self.clfs = classifiers
+        self.include_recon = eval_config.include_recon
+        self.nb_samples_for_joint = eval_config.nb_samples_for_joint
+        self.nb_samples_for_cross = eval_config.nb_samples_for_cross
+        self.num_classes = eval_config.num_classes
+        self.give_details_per_classes = eval_config.give_details_per_class
+        assert self.num_classes is not None, \
+            "Please provide the number of classes"
+
+    def cross_coherences(self):
+        """All subset -> modality coherences (reference ``:51-109``)."""
+        modalities = list(self.model.encoders.keys())
+        accs, accs_per_class = [], []
+        for n in range(1, self.model.n_modalities):
+            accs.append([])
+            accs_per_class.append([])
+            for s in combinations(modalities, n):
+                subset_dict, mean_acc, mean_acc_per_class = (
+                    self.coherence_from_subset(
+                        list(s), return_accuracies_per_labels=True)
+                )
+                self.metrics.update(subset_dict)
+                accs[-1].append(mean_acc)
+                accs_per_class[-1].append(mean_acc_per_class)
+
+        mean_accs = [float(np.mean(a)) for a in accs]
+        std_accs = [float(np.std(a)) for a in accs]
+        mean_accs_per_class = [np.mean(np.stack(a), axis=0)
+                               for a in accs_per_class]
+
+        for i, (m, s) in enumerate(zip(mean_accs, std_accs)):
+            self.logger.info(
+                "Conditional accuracies for %s modalities : %s +- %s",
+                i + 1, m, s,
+            )
+            self.metrics[f"mean_coherence_{i + 1}"] = m
+            self.metrics[f"std_coherence_{i + 1}"] = s
+            if self.give_details_per_classes:
+                for c in range(self.num_classes):
+                    self.metrics[f"mean_coherence_{i + 1}_class_{c}"] = float(
+                        mean_accs_per_class[i][c]
+                    )
+        return mean_accs, std_accs
+
+    def coherence_from_subset(self, subset: List[str],
+                              return_accuracies_per_labels: bool = False):
+        """Reference ``coherence_from_subset`` (``:111-188``)."""
+        pred_mods = [m for m in self.model.encoders
+                     if (m not in subset) or self.include_recon]
+        subset_name = "_".join(subset)
+        trackers = {m: _PerClassAccuracy(self.num_classes)
+                    for m in pred_mods}
+
+        for batch in self.test_loader:
+            if batch.labels is None:
+                raise AttributeError(
+                    "Cross-modal coherence cannot be computed on a dataset "
+                    "without labels"
+                )
+            valid = np.asarray(batch.weights) > 0
+            output = self.model.predict(
+                batch, list(subset), pred_mods,
+                N=self.nb_samples_for_cross, flatten=True,
+                ignore_incomplete=True,
+            )
+            labels = np.asarray(batch.labels)
+            if self.nb_samples_for_cross > 1:
+                labels_rep = np.concatenate(
+                    [labels] * self.nb_samples_for_cross)
+                valid_rep = np.concatenate(
+                    [valid] * self.nb_samples_for_cross)
+            else:
+                labels_rep, valid_rep = labels, valid
+            for m in pred_mods:
+                preds = np.asarray(self.clfs[m](output[m]))
+                trackers[m].update(preds[valid_rep], labels_rep[valid_rep])
+
+        acc_per_class = {
+            f"{subset_name}_to_{m}": trackers[m].compute() for m in trackers
+        }
+        acc = {k: float(v.mean()) for k, v in acc_per_class.items()}
+        self.logger.info("Subset %s accuracies %s", subset, acc)
+        mean_pair_acc = float(np.mean(list(acc.values())))
+        mean_acc_per_class = np.mean(
+            np.stack(list(acc_per_class.values())), axis=0)
+        if return_accuracies_per_labels:
+            return acc, mean_pair_acc, mean_acc_per_class
+        return acc, mean_pair_acc
+
+    def joint_coherence(self):
+        """Generate from the prior/sampler and check label agreement
+        (reference ``:190-236``)."""
+        all_same = []
+        samples_to_generate = self.nb_samples_for_joint
+        while samples_to_generate > 0:
+            n = min(self.batch_size, samples_to_generate)
+            if self.sampler is None:
+                output_prior = self.model.generate_from_prior(n)
+            else:
+                output_prior = self.sampler.sample(n)
+            output_decode = self.model.decode(output_prior)
+            labels = []
+            for m in output_decode.keys():
+                preds = np.asarray(self.clfs[m](output_decode[m]))
+                labels.append(np.argmax(preds, axis=1))
+            same = np.all(np.stack([lab == labels[0] for lab in labels]),
+                          axis=0)
+            all_same.append(same.astype(np.float32))
+            samples_to_generate -= n
+        joint_coherence = float(np.concatenate(all_same).mean())
+        sampler_name = "prior" if self.sampler is None else self.sampler.name
+        self.logger.info("Joint coherence with sampler %s: %s", sampler_name,
+                         joint_coherence)
+        self.metrics[f"joint_coherence_{sampler_name}"] = joint_coherence
+        return joint_coherence
+
+    def eval(self):
+        self.cross_coherences()
+        self.joint_coherence()
+        self.log_to_wandb()
+        return ModelOutput(**self.metrics)

@@ -1,0 +1,24 @@
+"""FID evaluator config (reference
+``src/multivae/metrics/fids/fids_config.py``)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pydantic.dataclasses import dataclass
+
+from ..base.evaluator_config import EvaluatorConfig
+
+
+@dataclass
+class FIDEvaluatorConfig(EvaluatorConfig):
+    """Config for the Fréchet-distance evaluation.
+
+    Args:
+        inception_weights_path: path to converted InceptionV3 weights
+            (msgpack). Required only when no custom encoders are provided.
+        dims_inception: embedding dimension of the inception layer.
+    """
+
+    inception_weights_path: Optional[str] = "../fid_model/model.msgpack"
+    dims_inception: int = 2048

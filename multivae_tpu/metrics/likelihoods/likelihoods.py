@@ -1,0 +1,79 @@
+"""Joint-NLL evaluator — the north-star evaluation (SURVEY §3.4).
+
+Reference: ``src/multivae/metrics/likelihoods/likelihoods.py``. Each
+model's ``compute_joint_nll`` is already a single compiled chunk-scanned
+program on TPU; this module just batches the dataset through it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...utils.model_output import ModelOutput
+from ..base.evaluator_class import Evaluator
+from .likelihoods_config import LikelihoodsEvaluatorConfig
+
+
+class LikelihoodsEvaluator(Evaluator):
+    """Computes the K-sample IWAE estimate of the joint NLL."""
+
+    def __init__(self, model, test_dataset, output=None, eval_config=None,
+                 sampler=None):
+        if eval_config is None:
+            eval_config = LikelihoodsEvaluatorConfig()
+        super().__init__(model, test_dataset, output, eval_config, sampler)
+        self.num_samples = eval_config.num_samples
+        self.batch_size_k = eval_config.batch_size_k
+        self.unified = eval_config.unified_implementation
+
+    def eval(self):
+        self.joint_nll()
+        self.log_to_wandb()
+        return ModelOutput(**self.metrics)
+
+    def _batch_without_padding(self, batch):
+        """Strip loader padding rows (host-side) so NLL sums are exact."""
+        valid = np.asarray(batch.weights) > 0
+        if valid.all():
+            return batch
+        from ...data.batch import batch_from_arrays
+
+        return batch_from_arrays(
+            data={m: np.asarray(v)[valid] for m, v in batch.data.items()},
+            incomplete=batch.incomplete,
+        )
+
+    def joint_nll(self):
+        ll = 0.0
+        for batch in self.test_loader:
+            batch = self._batch_without_padding(batch)
+            if self.unified or not hasattr(self.model,
+                                           "compute_joint_nll_paper"):
+                nll = self.model.compute_joint_nll(
+                    batch, self.num_samples, self.batch_size_k
+                )
+            else:
+                self.logger.info("Using the paper version of the joint nll.")
+                nll = self.model.compute_joint_nll_paper(
+                    batch, self.num_samples, self.batch_size_k
+                )
+            ll += float(np.sum(np.asarray(nll)))
+        joint_nll = ll / self.n_data
+        self.logger.info("Mean Joint likelihood : %s", joint_nll)
+        self.metrics["joint_likelihood"] = joint_nll
+        return joint_nll
+
+    def joint_nll_from_subset(self, subset):
+        """Subset-posterior NLL (MoPoE only, reference ``:58-77``)."""
+        if hasattr(self.model, "_compute_joint_nll_from_subset_encoding"):
+            ll = 0.0
+            for batch in self.test_loader:
+                batch = self._batch_without_padding(batch)
+                ll += float(self.model._compute_joint_nll_from_subset_encoding(
+                    subset, batch, self.num_samples, self.batch_size_k
+                ))
+            joint_nll = ll / self.n_data
+            self.logger.info("Joint likelihood from subset %s", joint_nll)
+            self.metrics[f"Joint likelihood from subset {subset}"] = joint_nll
+            return joint_nll
+        return None

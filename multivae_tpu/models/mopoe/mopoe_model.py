@@ -388,28 +388,39 @@ class MoPoE(BaseMultiVAE):
         ln_px = iwae_log_marginal(logw_chunk, rng, K, batch_size_K)
         return -jnp.sum(ln_px)
 
-    def compute_joint_nll_paper(self, inputs, K: int = 1000,
-                                batch_size_K: int = 100, rng=None):
-        """PoE-posterior IWAE NLL as in the original paper implementation
-        (reference ``mopoe_model.py:596-717``)."""
+    def _compute_joint_nll_from_subset_encoding(self, subset, inputs,
+                                                K: int = 1000,
+                                                batch_size_K: int = 100,
+                                                rng=None):
+        """IWAE NLL with a subset PoE posterior as importance distribution
+        (reference ``mopoe_model.py:596-700``)."""
         batch = as_batch(inputs)
         self._check_complete_for_nll(inputs)
         params = self._ensure_params()
         if rng is None:
             rng = self.next_rng()
+        key = "_".join(sorted(subset))
         fn = self._jit(
-            ("joint_nll_paper", K, batch_size_K),
-            partial(self._joint_nll_paper, K=K, batch_size_K=batch_size_K),
+            ("joint_nll_subset", key, K, batch_size_K),
+            partial(self._joint_nll_paper, subset_key=key, K=K,
+                    batch_size_K=batch_size_K),
         )
         return fn(params, batch, rng)
 
-    def _joint_nll_paper(self, params, batch, rng, *, K, batch_size_K):
+    def compute_joint_nll_paper(self, inputs, K: int = 1000,
+                                batch_size_K: int = 100, rng=None):
+        """PoE-posterior IWAE NLL as in the original paper implementation
+        (reference ``mopoe_model.py:703-717``)."""
+        return self._compute_joint_nll_from_subset_encoding(
+            list(self.encoders.keys()), inputs, K, batch_size_K, rng
+        )
+
+    def _joint_nll_paper(self, params, batch, rng, *, subset_key, K,
+                         batch_size_K):
         mus_sub, lvs_sub, enc_outputs = self._all_subset_posteriors(
             params, batch
         )
-        full_idx = self._subset_names.index(
-            "_".join(sorted(self.encoders.keys()))
-        )
+        full_idx = self._subset_names.index(subset_key)
         jmu, jlv = mus_sub[full_idx], lvs_sub[full_idx]
 
         def logw_chunk(rng, chunk: int):
