@@ -1,15 +1,17 @@
+from .batch import MultimodalBatch
 from .datasets.base import (
     DatasetOutput,
     IncompleteDataset,
     MultimodalBaseDataset,
+    ResampleDataset,
 )
-from .batch import MultimodalBatch
 from .loader import DataLoader
 
 __all__ = [
+    "DataLoader",
     "DatasetOutput",
     "IncompleteDataset",
     "MultimodalBaseDataset",
     "MultimodalBatch",
-    "DataLoader",
+    "ResampleDataset",
 ]
