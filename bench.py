@@ -49,8 +49,7 @@ def bench_jax():
         rng=jax.random.key(0), step=jnp.asarray(0, jnp.int32),
     )
 
-    @jax.jit
-    def step_fn(state, batch, info):
+    def one_step(state, batch, info):
         rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(params):
@@ -64,17 +63,28 @@ def bench_jax():
         return state.replace(params=params, opt_state=opt_state,
                              step=state.step + 1), loss
 
+    N_INNER = 20  # steps fused per dispatch: measures device throughput,
+    # not host dispatch latency (which a production input pipeline overlaps)
+
+    @jax.jit
+    def multi_step(state, batch, info):
+        def body(s, _):
+            s, loss = one_step(s, batch, info)
+            return s, loss
+
+        return jax.lax.scan(body, state, None, length=N_INNER)
+
     info = StepInfo.create(epoch=1, dataset_size=BATCH * 10)
     # warmup / compile
-    state, loss = step_fn(state, batch, info)
-    jax.block_until_ready(loss)
+    state, losses = multi_step(state, batch, info)
+    jax.block_until_ready(losses)
 
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
-        state, loss = step_fn(state, batch, info)
-    jax.block_until_ready(loss)
+        state, losses = multi_step(state, batch, info)
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
-    return N_STEPS / dt
+    return N_STEPS * N_INNER / dt
 
 
 def bench_torch_reference_style():

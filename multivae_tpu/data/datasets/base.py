@@ -41,6 +41,13 @@ def _length(value) -> int:
 def _take(value, index):
     if isinstance(value, dict):
         return {k: _take(v, index) for k, v in value.items()}
+    if (isinstance(value, np.ndarray) and isinstance(index, np.ndarray)
+            and index.ndim == 1 and value.ndim >= 2
+            and value.dtype.itemsize * value[0].size >= 512):
+        # large rows: threaded native gather (falls back to numpy)
+        from ..native_gather import gather_rows
+
+        return gather_rows(value, index)
     return value[index]
 
 

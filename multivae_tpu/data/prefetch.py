@@ -1,0 +1,63 @@
+"""Background prefetch pipeline: gather + host->device transfer off the
+critical path.
+
+The reference relies on torch DataLoader workers
+(``train_dataloader_num_workers``, reference ``base_trainer_config.py``);
+the TPU-native equivalent is a producer thread that assembles the next
+batches (using the native threaded gather) and issues ``device_put`` with
+the data-parallel sharding while the current step runs, so the accelerator
+never waits on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+from ..parallel.mesh import shard_batch
+
+
+class PrefetchLoader:
+    """Wrap a DataLoader with a device-put prefetching thread.
+
+    Args:
+        loader: the underlying DataLoader (yields host batches).
+        mesh: the device mesh to shard onto.
+        depth: number of batches to keep in flight.
+    """
+
+    def __init__(self, loader, mesh, depth: int = 2):
+        self.loader = loader
+        self.mesh = mesh
+        self.depth = depth
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        error = []
+
+        def produce():
+            try:
+                for batch in self.loader:
+                    q.put(shard_batch(batch, self.mesh))
+            except BaseException as e:  # pragma: no cover
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+        if error:
+            raise error[0]

@@ -49,3 +49,24 @@ class AutoModel:
                 "multivae_tpu model."
             ) from e
         return model_cls.load_from_folder(dir_path)
+
+    @classmethod
+    def load_from_hf_hub(cls, hf_hub_path: str,
+                         allow_pickle: bool = False):  # pragma: no cover
+        """Reload any model from the Hugging Face hub
+        (reference ``auto_model.py:116-232``)."""
+        import tempfile
+
+        from huggingface_hub import hf_hub_download
+
+        tempdir = tempfile.mkdtemp()
+        config_path = hf_hub_download(repo_id=hf_hub_path,
+                                      filename="model_config.json",
+                                      local_dir=tempdir)
+        with open(config_path) as f:
+            config_name = json.load(f)["name"]
+        import multivae_tpu.models  # noqa: F401
+
+        model_cls = get_model_class(config_name[: -len("Config")])
+        return model_cls.load_from_hf_hub(hf_hub_path,
+                                          allow_pickle=allow_pickle)

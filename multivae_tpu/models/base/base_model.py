@@ -131,6 +131,127 @@ class BaseModel:
         with open(path, "rb") as f:
             return serialization.msgpack_restore(f.read())
 
+    # -------------------------------------------------------- HF hub (opt.)
+    MODEL_CARD_TEMPLATE = """---
+language: en
+tags:
+- multivae_tpu
+license: apache-2.0
+---
+
+### Downloading this model from the Hub
+This model was trained with multivae_tpu. It can be downloaded or reloaded
+using the method `load_from_hf_hub`
+```python
+>>> from multivae_tpu.models import AutoModel
+>>> model = AutoModel.load_from_hf_hub(hf_hub_path="your_hf_username/repo_name")
+```
+"""
+
+    @staticmethod
+    def _hf_hub_is_available() -> bool:
+        import importlib
+
+        return importlib.util.find_spec("huggingface_hub") is not None
+
+    def push_to_hf_hub(self, hf_hub_path: str):  # pragma: no cover
+        """Save the model directly to the Hugging Face hub.
+
+        Reference: ``base_model.py:213-299``. Requires the optional
+        ``huggingface_hub`` package and a logged-in account.
+        """
+        if not self._hf_hub_is_available():
+            raise ModuleNotFoundError(
+                "`huggingface_hub` package must be installed to push your "
+                "model to the HF hub. Run `python -m pip install "
+                "huggingface_hub` and log in with `huggingface-cli login`."
+            )
+        import shutil
+        import tempfile
+
+        from huggingface_hub import CommitOperationAdd, HfApi
+
+        logger.info("Uploading %s model to %s repo in HF hub...",
+                    self.model_name, hf_hub_path)
+        tempdir = tempfile.mkdtemp()
+        self.save(tempdir)
+        model_files = os.listdir(tempdir)
+
+        api = HfApi()
+        hf_operations = [
+            CommitOperationAdd(
+                path_in_repo=file,
+                path_or_fileobj=str(os.path.join(tempdir, file)),
+            )
+            for file in model_files
+        ]
+        with open(os.path.join(tempdir, "model_card.md"), "w") as f:
+            f.write(self.MODEL_CARD_TEMPLATE)
+        hf_operations.append(
+            CommitOperationAdd(
+                path_in_repo="README.md",
+                path_or_fileobj=os.path.join(tempdir, "model_card.md"),
+            )
+        )
+        try:
+            api.create_commit(
+                commit_message=f"Uploading {self.model_name} in "
+                f"{hf_hub_path}",
+                repo_id=hf_hub_path, operations=hf_operations,
+            )
+        except Exception:
+            from huggingface_hub import create_repo
+
+            repo_name = os.path.basename(os.path.normpath(hf_hub_path))
+            logger.info("Creating %s in the HF hub since it does not "
+                        "exist...", repo_name)
+            create_repo(repo_id=repo_name)
+            api.create_commit(
+                commit_message=f"Uploading {self.model_name} in "
+                f"{hf_hub_path}",
+                repo_id=hf_hub_path, operations=hf_operations,
+            )
+        shutil.rmtree(tempdir)
+
+    @classmethod
+    def load_from_hf_hub(cls, hf_hub_path: str,
+                         allow_pickle: bool = False):  # pragma: no cover
+        """Load a pretrained model from the Hugging Face hub.
+
+        Reference: ``base_model.py:301-375``.
+        """
+        if not cls._hf_hub_is_available():
+            raise ModuleNotFoundError(
+                "`huggingface_hub` package must be installed to load models "
+                "from the HF hub. Run `python -m pip install "
+                "huggingface_hub`."
+            )
+        import json
+        import tempfile
+
+        from huggingface_hub import hf_hub_download
+
+        logger.info("Downloading %s files for rebuilding...", hf_hub_path)
+        tempdir = tempfile.mkdtemp()
+        config_path = hf_hub_download(repo_id=hf_hub_path,
+                                      filename="model_config.json",
+                                      local_dir=tempdir)
+        with open(config_path) as f:
+            config_dict = json.load(f)
+        hf_hub_download(repo_id=hf_hub_path, filename="model.msgpack",
+                        local_dir=tempdir)
+        custom = config_dict.get("custom_architectures", [])
+        if custom and not allow_pickle:
+            raise RuntimeError(
+                "The model on the hub contains cloudpickled custom "
+                "architectures. Loading them executes arbitrary code; pass "
+                "allow_pickle=True only if you trust the source."
+            )
+        for arch in set(custom):
+            hf_hub_download(repo_id=hf_hub_path, filename=f"{arch}.pkl",
+                            local_dir=tempdir)
+        return cls.load_from_folder(os.path.dirname(config_path))
+
     @classmethod
     def config_class(cls):
         """The config class paired with this model (override or inferred)."""

@@ -287,10 +287,12 @@ class BaseTrainer:
         n_batches = len(self.train_loader)
         dataset_size = len(self.train_dataset)
 
+        from ...data.prefetch import PrefetchLoader
+
+        prefetched = PrefetchLoader(self.train_loader, self.mesh, depth=2)
         loss_sum_total = None
         metric_sums = {}
-        for batch_idx, batch in enumerate(self.train_loader):
-            batch = shard_batch(batch, self.mesh)
+        for batch_idx, batch in enumerate(prefetched):
             info = StepInfo.create(
                 epoch=epoch, batch_ratio=batch_idx / n_batches,
                 dataset_size=dataset_size,
@@ -328,10 +330,12 @@ class BaseTrainer:
         n_batches = len(self.eval_loader)
         rng = jax.random.key(self.training_config.seed + 1000 + epoch)
 
+        from ...data.prefetch import PrefetchLoader
+
+        prefetched = PrefetchLoader(self.eval_loader, self.mesh, depth=2)
         loss_sum_total = None
         metric_sums = {}
-        for batch in self.eval_loader:
-            batch = shard_batch(batch, self.mesh)
+        for batch in prefetched:
             info = StepInfo.create(epoch=epoch, dataset_size=dataset_size)
             out = eval_fn(self.state.params, batch, rng, info)
             loss_sum_total = (
