@@ -2,6 +2,8 @@ from .base_trainer import BaseTrainer, TrainState
 from .base_trainer_config import BaseTrainerConfig
 from .callbacks import (
     CallbackHandler,
+    JaxProfilerCallback,
+    StepTimingCallback,
     MetricConsolePrinterCallback,
     ProgressBarCallback,
     TrainingCallback,
@@ -13,6 +15,8 @@ __all__ = [
     "BaseTrainerConfig",
     "TrainState",
     "CallbackHandler",
+    "JaxProfilerCallback",
+    "StepTimingCallback",
     "MetricConsolePrinterCallback",
     "ProgressBarCallback",
     "TrainingCallback",

@@ -64,6 +64,15 @@ logger = logging.getLogger(__name__)
 logger.setLevel(logging.INFO)
 
 
+def _to_bf16(tree):
+    """Cast float32 leaves to bfloat16 (mixed-precision compute)."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        tree,
+    )
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -224,16 +233,27 @@ class BaseTrainer:
         rep = replicated_sharding(self.mesh)
         bsh = batch_sharding(self.mesh)
 
+        mixed = self.training_config.mixed_precision
+
         def step_fn(state: TrainState, batch: MultimodalBatch, info: StepInfo):
             rng = jax.random.fold_in(state.rng, state.step)
 
             def loss_fn(params):
-                out = model.loss_function(params, batch, rng, info)
-                return out["loss"], out
+                if mixed:
+                    params = _to_bf16(params)
+                    batch_c = _to_bf16(batch)
+                else:
+                    batch_c = batch
+                out = model.loss_function(params, batch_c, rng, info)
+                return out["loss"].astype(jnp.float32), out
 
             (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
+            if mixed:
+                grads = jax.tree.map(
+                    lambda g: g.astype(jnp.float32), grads
+                )
             updates, opt_state = optimizer.update(
                 grads, state.opt_state, state.params
             )

@@ -45,6 +45,9 @@ class BaseTrainerConfig(BaseConfig):
         seed: global RNG seed.
         drop_last: drop the final partial batch instead of padding it.
         n_devices: number of local devices to use (None = all).
+        mixed_precision: run the compiled loss in bfloat16 (fp32 master
+            weights and optimizer state; grads are cast back to fp32).
+            TPU-native speed/memory option, off by default.
         coordinator_address / num_processes / process_id: jax.distributed
             multi-host setup (replaces DDP env rendezvous).
     """
@@ -64,6 +67,7 @@ class BaseTrainerConfig(BaseConfig):
     seed: int = 8
     drop_last: bool = False
     n_devices: Union[int, None] = None
+    mixed_precision: bool = False
     coordinator_address: Union[str, None] = None
     num_processes: Union[int, None] = None
     process_id: Union[int, None] = None

@@ -189,6 +189,70 @@ class ProgressBarCallback(TrainingCallback):
             self.eval_progress_bar.close()
 
 
+class StepTimingCallback(TrainingCallback):
+    """Wall-clock instrumentation: epoch time + steps/s.
+
+    New capability vs the reference (SURVEY §5.1: the reference has no
+    profiling hooks). The timings are injected into the logged metrics.
+    """
+
+    def __init__(self):
+        import time
+
+        self._time = time.perf_counter
+        self._epoch_start = None
+        self._steps = 0
+        self.history = []
+
+    def on_epoch_begin(self, training_config, **kwargs):
+        self._epoch_start = self._time()
+        self._steps = 0
+
+    def on_train_step_end(self, training_config, **kwargs):
+        self._steps += 1
+
+    def on_log(self, training_config, logs, **kwargs):
+        if self._epoch_start is None:
+            return
+        elapsed = self._time() - self._epoch_start
+        logs["epoch_time_s"] = elapsed
+        if self._steps:
+            logs["train_steps_per_s"] = self._steps / elapsed
+        self.history.append(
+            {"epoch_time_s": elapsed, "steps": self._steps}
+        )
+
+
+class JaxProfilerCallback(TrainingCallback):
+    """Capture a jax.profiler trace for selected epochs.
+
+    The trace (viewable in TensorBoard / Perfetto) covers the full epoch:
+    compiled step execution, host gaps, transfers. New capability vs the
+    reference (SURVEY §5.1).
+    """
+
+    def __init__(self, trace_dir: str, epochs=(2,)):
+        self.trace_dir = trace_dir
+        self.epochs = set(epochs)
+        self._active = False
+
+    def on_epoch_begin(self, training_config, **kwargs):
+        import jax
+
+        epoch = kwargs.get("epoch")
+        if epoch in self.epochs and not self._active:
+            os.makedirs(self.trace_dir, exist_ok=True)
+            jax.profiler.start_trace(self.trace_dir)
+            self._active = True
+
+    def on_epoch_end(self, training_config, **kwargs):
+        import jax
+
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class WandbCallback(TrainingCallback):
     """Weights & Biases logging (reference ``callbacks.py:251-387``).
 

@@ -1,0 +1,246 @@
+"""Cross-framework numerical parity: our JAX models vs the reference math
+re-implemented in torch with IDENTICAL weights.
+
+This is the strongest correctness check available without importing the
+reference library (its pythae dependency is not installed): the reference's
+loss formulas are written out in torch (from
+``src/multivae/models/mvtcae/mvtcae_model.py`` and
+``jmvae_model.py``), our flax parameters are copied into the torch modules,
+and losses are compared on the same inputs with the same latent samples.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multivae_tpu.data import MultimodalBaseDataset
+from multivae_tpu.data.batch import as_batch
+from multivae_tpu.models import MVTCAE, MVTCAEConfig
+
+DIMS = {"m0": (4,), "m1": (6,)}
+LATENT = 5
+HID = 32
+
+
+def _torch_mlp_encoder(flax_params, in_dim, torch_module=None):
+    """Build a torch replica of Encoder_VAE_MLP and copy flax weights."""
+    import torch
+    import torch.nn as tnn
+
+    layers = tnn.ModuleList([
+        tnn.Sequential(tnn.Linear(in_dim, HID), tnn.ReLU()),
+        tnn.Sequential(tnn.Linear(HID, HID), tnn.ReLU()),
+    ])
+    emb = tnn.Linear(HID, LATENT)
+    lv = tnn.Linear(HID, LATENT)
+
+    p = flax_params
+
+    def cp(torch_linear, dense):
+        torch_linear.weight.data = torch.tensor(
+            np.asarray(p[dense]["kernel"]).T)
+        torch_linear.bias.data = torch.tensor(np.asarray(p[dense]["bias"]))
+
+    cp(layers[0][0], "Dense_0")
+    cp(layers[1][0], "Dense_1")
+    cp(emb, "Dense_2")
+    cp(lv, "Dense_3")
+
+    def forward(x):
+        h = x.reshape(-1, in_dim)
+        for lyr in layers:
+            h = lyr(h)
+        return emb(h), lv(h)
+
+    return forward
+
+
+def _torch_mlp_decoder(flax_params, out_dim):
+    import torch
+    import torch.nn as tnn
+
+    l1 = tnn.Linear(LATENT, HID)
+    l2 = tnn.Linear(HID, out_dim)
+    p = flax_params
+
+    def cp(torch_linear, dense):
+        torch_linear.weight.data = torch.tensor(
+            np.asarray(p[dense]["kernel"]).T)
+        torch_linear.bias.data = torch.tensor(np.asarray(p[dense]["bias"]))
+
+    cp(l1, "Dense_0")
+    cp(l2, "Dense_1")
+
+    def forward(z):
+        h = torch.relu(l1(z))
+        return torch.sigmoid(l2(h))
+
+    return forward
+
+
+@pytest.fixture
+def setup():
+    from multivae_tpu.nn import BaseAEConfig, Decoder_AE_MLP, Encoder_VAE_MLP
+
+    encoders = {
+        m: Encoder_VAE_MLP(BaseAEConfig(input_dim=d, latent_dim=LATENT),
+                           hidden_dim=HID)
+        for m, d in DIMS.items()
+    }
+    decoders = {
+        m: Decoder_AE_MLP(BaseAEConfig(input_dim=d, latent_dim=LATENT),
+                          hidden_dim=HID)
+        for m, d in DIMS.items()
+    }
+    model = MVTCAE(
+        MVTCAEConfig(n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+                     alpha=0.3, beta=1.7),
+        encoders=encoders, decoders=decoders, seed=0,
+    )
+    rng = np.random.default_rng(0)
+    data = {m: rng.uniform(size=(8, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    return model, data
+
+
+def test_mvtcae_joint_posterior_matches_torch(setup):
+    import torch
+
+    model, data = setup
+    batch = as_batch(MultimodalBaseDataset(data)[:])
+    mus, lvs, _ = model.stacked_gaussian_params(model.params, batch)
+
+    for i, m in enumerate(DIMS):
+        enc = _torch_mlp_encoder(model.params["encoders"][m],
+                                 int(np.prod(DIMS[m])))
+        t_mu, t_lv = enc(torch.tensor(data[m]))
+        np.testing.assert_allclose(np.asarray(mus[i]),
+                                   t_mu.detach().numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lvs[i]),
+                                   t_lv.detach().numpy(), atol=2e-5)
+
+    # PoE parity (reference poe, base_utils.py:122-130)
+    jmu, jlv, _ = model._joint_posterior(model.params, batch)
+    t_mus = torch.stack([
+        _torch_mlp_encoder(model.params["encoders"][m],
+                           int(np.prod(DIMS[m])))(torch.tensor(data[m]))[0]
+        for m in DIMS
+    ])
+    t_lvs = torch.stack([
+        _torch_mlp_encoder(model.params["encoders"][m],
+                           int(np.prod(DIMS[m])))(torch.tensor(data[m]))[1]
+        for m in DIMS
+    ])
+    var = torch.exp(t_lvs) + 1e-8
+    T = 1.0 / var
+    ref_mu = (t_mus * T).sum(0) / T.sum(0)
+    ref_lv = torch.log(1.0 / T.sum(0))
+    np.testing.assert_allclose(np.asarray(jmu), ref_mu.detach().numpy(),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(jlv), ref_lv.detach().numpy(),
+                               atol=3e-5)
+
+
+def test_mvtcae_loss_matches_torch_reference_math(setup):
+    """Full loss parity with the reference forward
+    (mvtcae_model.py:42-108), evaluated at z = posterior mean."""
+    import torch
+
+    model, data = setup
+    batch = as_batch(MultimodalBaseDataset(data)[:])
+
+    # --- our loss with z = joint mean (return_mean path): recompute the
+    # loss manually with the same deterministic z
+    params = model.params
+    jmu, jlv, (mus, lvs, mask) = model._joint_posterior(params, batch)
+    z = jmu  # deterministic
+
+    from multivae_tpu.models.base.base_ae_model import sum_except_batch
+
+    n_data = 8.0
+    joint_kld = float(jnp.sum(-0.5 * jnp.sum(
+        1.0 - jnp.exp(jlv) - jmu**2 + jlv, axis=-1)))
+    loss_rec = 0.0
+    for m in DIMS:
+        recon = model.decode_mod(params, m, z)
+        rec = sum_except_batch(-model.recon_log_probs[m](recon,
+                                                         batch.data[m]))
+        loss_rec += float(rec.sum())
+    kld_losses = 0.0
+    for i, m in enumerate(DIMS):
+        kld_m = -0.5 * jnp.sum(
+            1.0 - jnp.exp(jlv - lvs[i]) - (jmu - mus[i]) ** 2
+            / jnp.exp(lvs[i]) + jlv - lvs[i], axis=-1)
+        kld_losses += float(kld_m.sum())
+    M, alpha, beta = 2.0, 0.3, 1.7
+    ours = ((M - alpha) / M * loss_rec
+            + beta * (alpha / M * kld_losses + (1 - alpha) * joint_kld))
+
+    # --- the same math in torch with the copied weights
+    t_encs = {m: _torch_mlp_encoder(params["encoders"][m],
+                                    int(np.prod(DIMS[m]))) for m in DIMS}
+    t_decs = {m: _torch_mlp_decoder(params["decoders"][m],
+                                    int(np.prod(DIMS[m]))) for m in DIMS}
+    t_mus, t_lvs = zip(*[t_encs[m](torch.tensor(data[m])) for m in DIMS])
+    t_mus, t_lvs = torch.stack(t_mus), torch.stack(t_lvs)
+    T = 1.0 / (torch.exp(t_lvs) + 1e-8)
+    t_jmu = (t_mus * T).sum(0) / T.sum(0)
+    t_jlv = torch.log(1.0 / T.sum(0))
+    t_z = t_jmu
+
+    t_joint_kld = -0.5 * torch.sum(1 - t_jlv.exp() - t_jmu.pow(2) + t_jlv)
+    t_loss_rec = 0.0
+    for m in DIMS:
+        t_recon = t_decs[m](t_z)
+        lp = torch.distributions.Normal(t_recon, 1.0).log_prob(
+            torch.tensor(data[m]).reshape(8, -1))
+        t_loss_rec = t_loss_rec + (-lp).sum()
+    t_klds = 0.0
+    for i, m in enumerate(DIMS):
+        t_klds = t_klds + (-0.5 * (
+            1 - (t_jlv - t_lvs[i]).exp()
+            - (t_jmu - t_mus[i]).pow(2) / t_lvs[i].exp()
+            + t_jlv - t_lvs[i]
+        ).sum())
+    theirs = float((M - alpha) / M * t_loss_rec
+                   + beta * (alpha / M * t_klds + (1 - alpha) * t_joint_kld))
+
+    assert ours == pytest.approx(theirs, rel=2e-4)
+
+
+def test_mvtcae_loss_function_agrees_with_manual(setup):
+    """model.loss_function with a fixed rng must reproduce the manual
+    computation with the same z (validates the weighting plumbing)."""
+    model, data = setup
+    batch = as_batch(MultimodalBaseDataset(data)[:])
+    from multivae_tpu.models.base.step import StepInfo
+    from multivae_tpu.ops.gaussian import rsample_from_gaussian
+
+    rng = jax.random.key(3)
+    out = model.loss_function(model.params, batch, rng, StepInfo.create())
+
+    params = model.params
+    jmu, jlv, (mus, lvs, _) = model._joint_posterior(params, batch)
+    z = rsample_from_gaussian(rng, jmu, jlv)
+
+    from multivae_tpu.models.base.base_ae_model import sum_except_batch
+
+    joint_kld = float(jnp.sum(-0.5 * jnp.sum(
+        1.0 - jnp.exp(jlv) - jmu**2 + jlv, axis=-1)))
+    loss_rec = sum(
+        float(sum_except_batch(-model.recon_log_probs[m](
+            model.decode_mod(params, m, z), batch.data[m])).sum())
+        for m in DIMS
+    )
+    kld_losses = sum(
+        float((-0.5 * jnp.sum(
+            1.0 - jnp.exp(jlv - lvs[i]) - (jmu - mus[i]) ** 2
+            / jnp.exp(lvs[i]) + jlv - lvs[i], axis=-1)).sum())
+        for i, m in enumerate(DIMS)
+    )
+    M, alpha, beta = 2.0, 0.3, 1.7
+    manual = ((M - alpha) / M * loss_rec
+              + beta * (alpha / M * kld_losses + (1 - alpha) * joint_kld))
+    assert float(out.loss_sum) == pytest.approx(manual, rel=1e-5)
