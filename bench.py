@@ -75,14 +75,15 @@ def bench_jax():
         return jax.lax.scan(body, state, None, length=N_INNER)
 
     info = StepInfo.create(epoch=1, dataset_size=BATCH * 10)
-    # warmup / compile
+    # warmup / compile (force a concrete fetch: block_until_ready can
+    # under-wait on experimental remote backends)
     state, losses = multi_step(state, batch, info)
-    jax.block_until_ready(losses)
+    float(losses[-1])
 
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
         state, losses = multi_step(state, batch, info)
-    jax.block_until_ready(losses)
+    float(losses[-1])
     dt = time.perf_counter() - t0
     return N_STEPS * N_INNER / dt
 
@@ -174,14 +175,95 @@ def bench_torch_reference_style():
     return N_STEPS_TORCH / dt
 
 
+def bench_nll_jax(n_data=512, K=1000, batch_size_K=100):
+    """K=1000 joint-NLL wall-clock (the reference's hot eval, SURVEY 3.4)."""
+    import jax
+
+    from multivae_tpu.data.batch import batch_from_arrays
+    from multivae_tpu.models import MVTCAE, MVTCAEConfig
+
+    rng = np.random.default_rng(0)
+    data = {m: rng.uniform(size=(n_data, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    batch = batch_from_arrays(data=data)
+    model = MVTCAE(MVTCAEConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        decoders_dist={m: "bernoulli" for m in DIMS},
+    ), seed=0)
+    # compile (concrete fetch, see note in bench_jax)
+    nll = model.compute_joint_nll(batch, K=K, batch_size_K=batch_size_K)
+    float(nll)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        nll = model.compute_joint_nll(batch, K=K, batch_size_K=batch_size_K)
+        float(nll)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_nll_torch(n_data_small=8, K=1000, batch_size_K=100, n_data=512):
+    """Reference-style nested per-datapoint NLL loop in torch-CPU
+    (``mvtcae_model.py:250-289``), extrapolated to n_data points."""
+    import torch
+    import torch.nn as tnn
+
+    torch.manual_seed(0)
+    dims_flat = {m: int(np.prod(d)) for m, d in DIMS.items()}
+
+    dec = {m: tnn.Sequential(tnn.Linear(LATENT, 512), tnn.ReLU(),
+                             tnn.Linear(512, dims_flat[m]))
+           for m in DIMS}
+    rng = np.random.default_rng(0)
+    data = {m: torch.tensor((rng.uniform(
+        size=(n_data_small, dims_flat[m])) > 0.5).astype(np.float32))
+        for m in DIMS}
+    mu = torch.randn(n_data_small, LATENT)
+    sigma = torch.rand(n_data_small, LATENT) + 0.5
+
+    def run():
+        with torch.no_grad():
+            qz = torch.distributions.Normal(mu, sigma)
+            z_joint = qz.rsample([K]).permute(1, 0, 2)
+            ll = 0.0
+            for i in range(n_data_small):
+                lnpxs = []
+                for start in range(0, K, batch_size_K):
+                    latents = z_joint[i][start:start + batch_size_K]
+                    lpx_zs = 0
+                    for m in DIMS:
+                        recon = dec[m](latents)
+                        lp = torch.distributions.Bernoulli(
+                            logits=recon).log_prob(
+                            data[m][i].expand(len(latents), -1))
+                        lpx_zs = lpx_zs + lp.sum(-1)
+                    lpz = torch.distributions.Normal(0, 1).log_prob(
+                        latents).sum(-1)
+                    lqz = torch.distributions.Normal(
+                        mu[i], sigma[i]).log_prob(latents).sum(-1)
+                    lnpxs.append(torch.logsumexp(lpx_zs + lpz - lqz, dim=0))
+                ll += torch.logsumexp(torch.stack(lnpxs), dim=0)
+            return ll
+
+    run()  # warmup
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    return dt * (n_data / n_data_small)  # extrapolate to full batch
+
+
 def main():
     jax_sps = bench_jax()
     torch_sps = bench_torch_reference_style()
+    nll_jax_s = bench_nll_jax()
+    nll_torch_s = bench_nll_torch()
     print(json.dumps({
         "metric": "mvtcae_train_steps_per_sec",
         "value": round(jax_sps, 3),
         "unit": "steps/s (batch=256, latent=512, MLP-512, 2 modalities)",
         "vs_baseline": round(jax_sps / torch_sps, 3),
+        "nll_k1000_512pts_seconds": round(nll_jax_s, 3),
+        "nll_k1000_vs_torch_cpu": round(nll_torch_s / nll_jax_s, 2),
     }))
 
 

@@ -233,13 +233,25 @@ class BaseMultiVAE(BaseModel):
         return self.params
 
     # -------------------------------------------------------- pure building
+    @property
+    def _use_remat(self) -> bool:
+        return bool(getattr(self.model_config, "use_remat", False))
+
     def encode_mod(self, params, mod: str, x) -> ModelOutput:
-        """Apply modality encoder (pure)."""
-        return self.encoders[mod].apply({"params": params["encoders"][mod]}, x)
+        """Apply modality encoder (pure); optionally rematerialized."""
+        fn = self.encoders[mod].apply
+        if self._use_remat:
+            fn = jax.checkpoint(fn)
+        return fn({"params": params["encoders"][mod]}, x)
 
     def decode_mod(self, params, mod: str, z):
-        """Apply modality decoder (pure); returns the reconstruction array."""
-        out = self.decoders[mod].apply({"params": params["decoders"][mod]}, z)
+        """Apply modality decoder (pure); returns the reconstruction array.
+        Optionally rematerialized (jax.checkpoint) to fit large K x B x M
+        activation products in HBM."""
+        fn = self.decoders[mod].apply
+        if self._use_remat:
+            fn = jax.checkpoint(fn)
+        out = fn({"params": params["decoders"][mod]}, z)
         return out["reconstruction"]
 
     def recon_log_prob(self, mod: str, recon, target):

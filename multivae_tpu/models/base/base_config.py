@@ -26,6 +26,9 @@ class BaseMultiVAEConfig(BaseConfig):
         decoder_dist_params: per-modality dist params (e.g. {'scale': 0.75}).
         custom_architectures: names of user-supplied network groups, tracked
             for save/load.
+        use_remat: rematerialize encoder/decoder activations in the
+            backward pass (jax.checkpoint) — trades FLOPs for HBM, enabling
+            large K x batch x modality products that would otherwise OOM.
     """
 
     n_modalities: int = 1
@@ -36,3 +39,4 @@ class BaseMultiVAEConfig(BaseConfig):
     decoders_dist: Optional[Dict[str, str]] = None
     decoder_dist_params: Optional[dict] = None
     custom_architectures: List[str] = pydantic.Field(default_factory=list)
+    use_remat: bool = False

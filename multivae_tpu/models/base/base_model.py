@@ -71,6 +71,14 @@ class BaseModel:
     def set_seed(self, seed: int):
         self._rng = jax.random.key(seed)
 
+    # ---------------------------------------------------------------- dtype
+    @staticmethod
+    def param_dtype(params):
+        """dtype of the parameter tree (for dtype-following constants so
+        that bf16 mixed-precision does not mix with f32 constants)."""
+        leaves = jax.tree_util.tree_leaves(params)
+        return leaves[0].dtype if leaves else jnp.float32
+
     # ------------------------------------------------------------------ jit
     def _jit(self, key, fn, **jit_kwargs):
         """Cache a jitted closure keyed by (method, static args)."""

@@ -66,12 +66,13 @@ class CMVAE(MMVAEPlus):
     # mixture weights, it never shrinks the parameter arrays.
     def _cluster_stds(self, params):
         n = params["model"]["mean_clusters"].shape[0]
-        lv = jnp.zeros((n, self.latent_dim))
+        lv = jnp.zeros((n, self.latent_dim),
+                       params["model"]["mean_clusters"].dtype)
         return log_var_to_std(lv, self.dist_name)
 
-    def _w_prior(self):
+    def _w_prior(self, dtype=jnp.float32):
         """Fixed regularizing prior p(w) (reference ``:100-106``)."""
-        mu = jnp.zeros((1, self.modalities_specific_dim))
+        mu = jnp.zeros((1, self.modalities_specific_dim), dtype)
         std = log_var_to_std(jnp.zeros_like(mu), self.dist_name)
         return mu, std
 
@@ -82,74 +83,64 @@ class CMVAE(MMVAEPlus):
     def _compute_k_lws(self, params, batch, posteriors, zs, recons,
                        detach_posteriors: bool, beta: float = None,
                        unit_rescale: bool = False):
-        """Reference ``_compute_k_lws`` (``cmvae_model.py:247-345``)."""
+        """Vectorized reference ``_compute_k_lws`` (``cmvae_model.py:247-345``):
+        cluster terms batched over the (C, M, K, B) layout."""
         beta = (self.model_config.beta if beta is None else beta)
         mods = list(posteriors.keys())
         mask = jnp.stack([batch.masks[m] for m in mods])
         n_mods_sample = jnp.maximum(mask.sum(0), 1.0)
 
-        w_mu, w_std = self._w_prior()
+        w_mu_p, w_std_p = self._w_prior(self.param_dtype(params))
         pc = self.pc_params_probs(params)
         lpc = jnp.log(pc)  # (C,)
         cluster_means = params["model"]["mean_clusters"]  # (C, D)
-        cluster_stds = self._cluster_stds(params)         # (C, D)
+        cluster_stds = self._cluster_stds(params)
 
-        lws = {}
-        for mod in mods:
-            u, w = zs[mod]["u"], zs[mod]["w"]
+        U = jnp.stack([zs[m]["u"] for m in mods])  # (M, K, B, D)
+        W = jnp.stack([zs[m]["w"] for m in mods])  # (M, K, B, S)
 
-            lpw = dist_log_prob(self.dist_name, w, w_mu, w_std).sum(-1)
+        # log p(w) under the fixed regularizing prior: (M, K, B)
+        lpw = dist_log_prob(self.dist_name, W, w_mu_p, w_std_p).sum(-1)
 
-            w_mu_q, w_std_q = posteriors[mod]["w"]
-            if detach_posteriors:
-                w_mu_q = jax.lax.stop_gradient(w_mu_q)
-                w_std_q = jax.lax.stop_gradient(w_std_q)
-            lqw_x = dist_log_prob(self.dist_name, w, w_mu_q, w_std_q).sum(-1)
+        u_mu, u_sig, w_mu, w_sig = self._stacked_posteriors(
+            posteriors, detach_posteriors
+        )
+        lqw_x = dist_log_prob(
+            self.dist_name, W, w_mu[:, None], w_sig[:, None]
+        ).sum(-1)
 
-            lqu_components = []
-            for i, m in enumerate(mods):
-                mu, sigma = posteriors[m]["u"]
-                if detach_posteriors:
-                    mu = jax.lax.stop_gradient(mu)
-                    sigma = jax.lax.stop_gradient(sigma)
-                lq = dist_log_prob(self.dist_name, u, mu, sigma).sum(-1)
-                lq = jnp.where(mask[i][None, :] > 0, lq, _NEG_FILL)
-                lqu_components.append(lq)
-            lqu_x = jax.nn.logsumexp(jnp.stack(lqu_components), axis=0)
-            lqu_x = lqu_x - jnp.log(n_mods_sample)[None, :]
+        lqu = dist_log_prob(
+            self.dist_name, U[None], u_mu[:, None, None],
+            u_sig[:, None, None],
+        ).sum(-1)
+        lqu = jnp.where(mask[:, None, None, :] > 0, lqu, _NEG_FILL)
+        lqu_x = jax.nn.logsumexp(lqu, axis=0) - jnp.log(n_mods_sample)
 
-            # log p(z|c) for every cluster: (C, K, B)
-            lpzc = dist_log_prob(
-                self.dist_name, u[None], cluster_means[:, None, None, :],
-                cluster_stds[:, None, None, :],
-            ).sum(-1)
+        # log p(z|c) for all clusters and modalities: (C, M, K, B)
+        lpzc = dist_log_prob(
+            self.dist_name, U[None], cluster_means[:, None, None, None, :],
+            cluster_stds[:, None, None, None, :],
+        ).sum(-1)
+        qzc = jax.nn.softmax(lpc[:, None, None, None] + lpzc, axis=0) + 1e-20
 
-            # q(c|z) = softmax_c(log pi_c + log p(z|c)) (+eps like reference)
-            qzc = jax.nn.softmax(lpc[:, None, None] + lpzc, axis=0) + 1e-20
-
-            lpx_z = 0.0
-            for recon_mod in mods:
-                x_recon = recons[mod][recon_mod]
-                lp = self.recon_log_probs[recon_mod](
-                    x_recon, batch.data[recon_mod][None]
-                )
-                factor = 1.0 if unit_rescale else self.rescale_factors[
-                    recon_mod]
-                lp = lp.reshape(*lp.shape[:2], -1).sum(-1) * factor
-                lp = lp * batch.masks[recon_mod][None, :]
-                lpx_z = lpx_z + lp
-
-            # explicit expectation over q(c|z): (C, K, B) -> (K, B)
-            lw_c = lpx_z[None] + beta * (
-                lpc[:, None, None] + lpzc + lpw[None] - lqu_x[None]
-                - lqw_x[None] - jnp.log(qzc)
+        lpx_z = 0.0
+        for recon_mod in mods:
+            lp = self.recon_log_probs[recon_mod](
+                recons[recon_mod], batch.data[recon_mod][None, None]
             )
-            lw = (qzc * lw_c).sum(0)
+            factor = 1.0 if unit_rescale else self.rescale_factors[recon_mod]
+            lp = lp.reshape(*lp.shape[:3], -1).sum(-1) * factor
+            lp = lp * batch.masks[recon_mod][None, None, :]
+            lpx_z = lpx_z + lp  # (M, K, B)
 
-            lw = lw * batch.masks[mod][None, :]
-            lws[mod] = lw
-
-        return lws, n_mods_sample
+        # explicit expectation over q(c|z): (C, M, K, B) -> (M, K, B)
+        lw_c = lpx_z[None] + beta * (
+            lpc[:, None, None, None] + lpzc + lpw[None] - lqu_x[None]
+            - lqw_x[None] - jnp.log(qzc)
+        )
+        lw = (qzc * lw_c).sum(0)
+        lw = lw * mask[:, None, :]
+        return {m: lw[i] for i, m in enumerate(mods)}, n_mods_sample
 
     # ----------------------------------------------------------------- encode
     def _encode_subset(self, params, batch: MultimodalBatch, rng, *,

@@ -74,11 +74,12 @@ class MMVAE(BaseMultiVAE):
 
     def pz_params(self, params):
         """(mean, std) of the prior (reference ``pz_params`` ``:76-93``)."""
-        mean = jnp.zeros((1, self.latent_dim))
+        dtype = self.param_dtype(params)
+        mean = jnp.zeros((1, self.latent_dim), dtype)
         if self.learn_prior:
             log_var = params["model"]["prior_log_var"]
         else:
-            log_var = jnp.zeros((1, self.latent_dim))
+            log_var = jnp.zeros((1, self.latent_dim), dtype)
         return mean, log_var_to_std(log_var, self.dist_name)
 
     # ------------------------------------------------------------ internals
@@ -101,49 +102,55 @@ class MMVAE(BaseMultiVAE):
 
     def _compute_k_lws(self, params, batch: MultimodalBatch, post_params,
                        zs, detach_posteriors: bool):
-        """Per-modality (K, B) log importance weights.
+        """Per-modality (K, B) log importance weights, fully vectorized.
 
-        Reference ``compute_k_lws`` (``mmvae_model.py:160-236``).
+        Reference ``compute_k_lws`` (``mmvae_model.py:160-236``). TPU-first
+        restructure: the per-(cond, recon) Python double loop becomes ONE
+        decoder call per recon modality over the stacked latents
+        (M, K, B, D) and one broadcasted mixture-density evaluation —
+        the compiled graph is M x smaller and the decodes run as single
+        large batches on the MXU.
         """
         mods = list(post_params.keys())
+        M = len(mods)
         mask = jnp.stack([batch.masks[m] for m in mods])  # (M, B)
         n_mods_sample = jnp.maximum(mask.sum(0), 1.0)     # (B,)
         prior_mu, prior_std = self.pz_params(params)
 
-        lws = {}
-        for mod in mods:
-            z = zs[mod]  # (K, B, D)
-            lpz = dist_log_prob(self.dist_name, z, prior_mu, prior_std).sum(-1)
+        Z = jnp.stack([zs[m] for m in mods])  # (M, K, B, D)
 
-            lqz_components = []
-            for i, m in enumerate(mods):
-                mu, sigma = post_params[m]
-                if detach_posteriors:
-                    mu = jax.lax.stop_gradient(mu)
-                    sigma = jax.lax.stop_gradient(sigma)
-                lq = dist_log_prob(self.dist_name, z, mu, sigma).sum(-1)
-                lq = jnp.where(mask[i][None, :] > 0, lq, _NEG_FILL)
-                lqz_components.append(lq)
-            lqz_x = jax.nn.logsumexp(jnp.stack(lqz_components), axis=0)
-            lqz_x = lqz_x - jnp.log(n_mods_sample)[None, :]
+        # log p(z): (M, K, B)
+        lpz = dist_log_prob(self.dist_name, Z, prior_mu, prior_std).sum(-1)
 
-            lpx_z = 0.0
-            for recon_mod in mods:
-                recon = self.decode_mod(params, recon_mod, z)  # (K,B,*)
-                lp = self.recon_log_probs[recon_mod](
-                    recon, batch.data[recon_mod][None]
-                )
-                lp = lp.reshape(*lp.shape[:2], -1).sum(-1) * (
-                    self.rescale_factors[recon_mod]
-                )
-                lp = lp * batch.masks[recon_mod][None, :]
-                lpx_z = lpx_z + lp
+        # mixture density log q(z|X): evaluate every expert against every
+        # modality's samples in one broadcasted op -> (Mq, Mz, K, B)
+        mus = jnp.stack([post_params[m][0] for m in mods])      # (Mq, B, D)
+        sigmas = jnp.stack([post_params[m][1] for m in mods])
+        if detach_posteriors:
+            mus = jax.lax.stop_gradient(mus)
+            sigmas = jax.lax.stop_gradient(sigmas)
+        lq = dist_log_prob(
+            self.dist_name, Z[None], mus[:, None, None], sigmas[:, None, None]
+        ).sum(-1)  # (Mq, Mz, K, B)
+        lq = jnp.where(mask[:, None, None, :] > 0, lq, _NEG_FILL)
+        lqz_x = jax.nn.logsumexp(lq, axis=0) - jnp.log(n_mods_sample)
 
-            lw = lpx_z + lpz - lqz_x
-            lw = lw * batch.masks[mod][None, :]
-            lws[mod] = lw  # (K, B)
+        # sum_m log p(x_m | z): ONE decode per recon modality on (M*K*B)
+        lpx_z = 0.0
+        for recon_mod in mods:
+            recon = self.decode_mod(params, recon_mod, Z)  # (M, K, B, *)
+            lp = self.recon_log_probs[recon_mod](
+                recon, batch.data[recon_mod][None, None]
+            )
+            lp = lp.reshape(*lp.shape[:3], -1).sum(-1) * (
+                self.rescale_factors[recon_mod]
+            )
+            lp = lp * batch.masks[recon_mod][None, None, :]
+            lpx_z = lpx_z + lp  # (M, K, B)
 
-        return lws, n_mods_sample
+        lw = lpx_z + lpz - lqz_x
+        lw = lw * mask[:, None, :]
+        return {m: lw[i] for i, m in enumerate(mods)}, n_mods_sample
 
     # ----------------------------------------------------------------- loss
     def loss_function(self, params, batch: MultimodalBatch, rng,

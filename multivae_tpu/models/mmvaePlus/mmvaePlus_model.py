@@ -98,20 +98,22 @@ class MMVAEPlus(BaseMultiVAE):
         return extra
 
     def _modality_prior(self, params, mod: str):
-        mean = jnp.zeros((1, self.modalities_specific_dim))
+        dtype = self.param_dtype(params)
+        mean = jnp.zeros((1, self.modalities_specific_dim), dtype)
         if self.model_config.learn_modality_prior:
             lv = params["model"][f"prior_log_var_{mod}"]
         else:
-            lv = jnp.zeros((1, self.modalities_specific_dim))
+            lv = jnp.zeros((1, self.modalities_specific_dim), dtype)
         return mean, log_var_to_std(lv, self.dist_name)
 
     def pz_params(self, params):
+        dtype = self.param_dtype(params)
         full = self.latent_dim + self.modalities_specific_dim
-        mean = jnp.zeros((1, full))
+        mean = jnp.zeros((1, full), dtype)
         if self.model_config.learn_shared_prior:
             lv = params["model"]["prior_log_var_shared"]
         else:
-            lv = jnp.zeros((1, full))
+            lv = jnp.zeros((1, full), dtype)
         return mean, log_var_to_std(lv, self.dist_name)
 
     # ------------------------------------------------------------ internals
@@ -140,110 +142,106 @@ class MMVAEPlus(BaseMultiVAE):
             zs[m] = {"u": u, "w": w}
         return zs
 
-    def _reconstructions(self, params, batch, posteriors, zs, rng, K):
-        """All M x M reconstructions; cross-modal private codes drawn from
-        the modality priors r_m (reference ``:163-193``). Returns the
-        reconstructions and the cross-modal prior draws (reused by the DReG
-        second pass so both passes see identical samples)."""
+    def _stacked_posteriors(self, posteriors, detach: bool):
         mods = list(posteriors.keys())
+        u_mu = jnp.stack([posteriors[m]["u"][0] for m in mods])
+        u_sig = jnp.stack([posteriors[m]["u"][1] for m in mods])
+        w_mu = jnp.stack([posteriors[m]["w"][0] for m in mods])
+        w_sig = jnp.stack([posteriors[m]["w"][1] for m in mods])
+        if detach:
+            u_mu, u_sig, w_mu, w_sig = map(jax.lax.stop_gradient,
+                                           (u_mu, u_sig, w_mu, w_sig))
+        return u_mu, u_sig, w_mu, w_sig
+
+    def _reconstructions(self, params, batch, posteriors, zs, rng, K):
+        """All M x M reconstructions with ONE decoder call per recon
+        modality over the stacked (M_cond, K, B) latents.
+
+        Reference ``:163-193`` loops over (cond, recon) pairs; here the
+        cross-modal private codes are drawn from the modality prior r_m as
+        one (M, K, B, S) draw per recon modality, with the self row
+        replaced by the posterior sample. Returns (recons, cross_w) where
+        cross_w holds the prior draws reused by the DReG second pass.
+        """
+        mods = list(posteriors.keys())
+        U = jnp.stack([zs[m]["u"] for m in mods])  # (M, K, B, D)
+        B = U.shape[2]
         recons = {}
         cross_w = {}
-        rngs = jax.random.split(rng, len(mods) * len(mods))
-        r = 0
-        for cond_mod in mods:
-            recons[cond_mod] = {}
-            cross_w[cond_mod] = {}
-            u = zs[cond_mod]["u"]
-            for recon_mod in mods:
-                if recon_mod == cond_mod:
-                    z = jnp.concatenate([u, zs[cond_mod]["w"]], axis=-1)
-                else:
-                    p_mu, p_std = self._modality_prior(params, recon_mod)
-                    B = u.shape[1]
-                    w = dist_rsample(
-                        rngs[r], self.dist_name,
-                        jnp.broadcast_to(p_mu, (B, p_mu.shape[-1])),
-                        jnp.broadcast_to(p_std, (B, p_std.shape[-1])), K=K,
-                    )
-                    cross_w[cond_mod][recon_mod] = w
-                    z = jnp.concatenate([u, w], axis=-1)
-                recons[cond_mod][recon_mod] = self.decode_mod(
-                    params, recon_mod, z
-                )
-                r += 1
+        rngs = jax.random.split(rng, len(mods))
+        for j, recon_mod in enumerate(mods):
+            p_mu, p_std = self._modality_prior(params, recon_mod)
+            w_prior = dist_rsample(
+                rngs[j], self.dist_name,
+                jnp.broadcast_to(p_mu, (len(mods), B, p_mu.shape[-1])),
+                jnp.broadcast_to(p_std, (len(mods), B, p_std.shape[-1])),
+                K=K,
+            )  # (K, M, B, S)
+            w_prior = jnp.moveaxis(w_prior, 0, 1)  # (M, K, B, S)
+            cross_w[recon_mod] = w_prior
+            W = w_prior.at[j].set(zs[recon_mod]["w"])
+            Z = jnp.concatenate([U, W], axis=-1)
+            recons[recon_mod] = self.decode_mod(params, recon_mod, Z)
         return recons, cross_w
 
     def _decode_with_latents(self, params, zs, cross_w):
-        """Decode all M x M pairs from the given latents + stored prior
-        draws (used for the DReG hooked pass)."""
+        """Re-decode from given latents + stored prior draws (DReG pass 2)."""
         mods = list(zs.keys())
+        U = jnp.stack([zs[m]["u"] for m in mods])
         out = {}
-        for cond_mod in mods:
-            out[cond_mod] = {}
-            u = zs[cond_mod]["u"]
-            for recon_mod in mods:
-                if recon_mod == cond_mod:
-                    z = jnp.concatenate([u, zs[cond_mod]["w"]], axis=-1)
-                else:
-                    z = jnp.concatenate(
-                        [u, cross_w[cond_mod][recon_mod]], axis=-1
-                    )
-                out[cond_mod][recon_mod] = self.decode_mod(
-                    params, recon_mod, z
-                )
+        for j, recon_mod in enumerate(mods):
+            W = cross_w[recon_mod].at[j].set(zs[recon_mod]["w"])
+            Z = jnp.concatenate([U, W], axis=-1)
+            out[recon_mod] = self.decode_mod(params, recon_mod, Z)
         return out
 
     def _compute_k_lws(self, params, batch, posteriors, zs, recons,
                        detach_posteriors: bool, beta: float = None,
                        unit_rescale: bool = False):
-        """Reference ``_compute_k_lws`` (``mmvaePlus_model.py:230-303``)."""
+        """Vectorized ``_compute_k_lws`` (reference
+        ``mmvaePlus_model.py:230-303``): every per-modality term is one
+        broadcasted op over the stacked (M, K, B) layout."""
         beta = self.beta if beta is None else beta
         mods = list(posteriors.keys())
         mask = jnp.stack([batch.masks[m] for m in mods])  # (M, B)
         n_mods_sample = jnp.maximum(mask.sum(0), 1.0)
         pz_mu, pz_std = self.pz_params(params)
 
-        lws = {}
-        for mod in mods:
-            u, w = zs[mod]["u"], zs[mod]["w"]
-            z = jnp.concatenate([u, w], axis=-1)
-            lpz = dist_log_prob(self.dist_name, z, pz_mu, pz_std).sum(-1)
+        U = jnp.stack([zs[m]["u"] for m in mods])  # (M, K, B, D)
+        W = jnp.stack([zs[m]["w"] for m in mods])  # (M, K, B, S)
+        Z = jnp.concatenate([U, W], axis=-1)
 
-            lqu_components = []
-            for i, m in enumerate(mods):
-                mu, sigma = posteriors[m]["u"]
-                if detach_posteriors:
-                    mu = jax.lax.stop_gradient(mu)
-                    sigma = jax.lax.stop_gradient(sigma)
-                lq = dist_log_prob(self.dist_name, u, mu, sigma).sum(-1)
-                lq = jnp.where(mask[i][None, :] > 0, lq, _NEG_FILL)
-                lqu_components.append(lq)
-            lqu_x = jax.nn.logsumexp(jnp.stack(lqu_components), axis=0)
-            lqu_x = lqu_x - jnp.log(n_mods_sample)[None, :]
+        lpz = dist_log_prob(self.dist_name, Z, pz_mu, pz_std).sum(-1)
 
-            w_mu, w_sigma = posteriors[mod]["w"]
-            if detach_posteriors:
-                w_mu = jax.lax.stop_gradient(w_mu)
-                w_sigma = jax.lax.stop_gradient(w_sigma)
-            lqw_x = dist_log_prob(self.dist_name, w, w_mu, w_sigma).sum(-1)
+        u_mu, u_sig, w_mu, w_sig = self._stacked_posteriors(
+            posteriors, detach_posteriors
+        )
+        # mixture over experts for the shared code: (Mq, Mz, K, B)
+        lqu = dist_log_prob(
+            self.dist_name, U[None], u_mu[:, None, None],
+            u_sig[:, None, None],
+        ).sum(-1)
+        lqu = jnp.where(mask[:, None, None, :] > 0, lqu, _NEG_FILL)
+        lqu_x = jax.nn.logsumexp(lqu, axis=0) - jnp.log(n_mods_sample)
 
-            lpx_z = 0.0
-            for recon_mod in mods:
-                x_recon = recons[mod][recon_mod]
-                lp = self.recon_log_probs[recon_mod](
-                    x_recon, batch.data[recon_mod][None]
-                )
-                factor = 1.0 if unit_rescale else self.rescale_factors[
-                    recon_mod]
-                lp = lp.reshape(*lp.shape[:2], -1).sum(-1) * factor
-                lp = lp * batch.masks[recon_mod][None, :]
-                lpx_z = lpx_z + lp
+        # private posterior density, own modality only: (M, K, B)
+        lqw_x = dist_log_prob(
+            self.dist_name, W, w_mu[:, None], w_sig[:, None]
+        ).sum(-1)
 
-            lw = lpx_z + beta * (lpz - lqu_x - lqw_x)
-            lw = lw * batch.masks[mod][None, :]
-            lws[mod] = lw
+        lpx_z = 0.0
+        for j, recon_mod in enumerate(mods):
+            lp = self.recon_log_probs[recon_mod](
+                recons[recon_mod], batch.data[recon_mod][None, None]
+            )
+            factor = 1.0 if unit_rescale else self.rescale_factors[recon_mod]
+            lp = lp.reshape(*lp.shape[:3], -1).sum(-1) * factor
+            lp = lp * batch.masks[recon_mod][None, None, :]
+            lpx_z = lpx_z + lp
 
-        return lws, n_mods_sample
+        lw = lpx_z + beta * (lpz - lqu_x - lqw_x)
+        lw = lw * mask[:, None, :]
+        return {m: lw[i] for i, m in enumerate(mods)}, n_mods_sample
 
     # ----------------------------------------------------------------- loss
     def loss_function(self, params, batch: MultimodalBatch, rng,

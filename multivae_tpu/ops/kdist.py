@@ -45,6 +45,10 @@ def _base_dist(dist_name: str) -> str:
 
 def dist_log_prob(dist_name: str, x, loc, scale):
     """Elementwise log-prob of the location-scale family."""
+    dtype = jnp.result_type(x, loc, scale)
+    x = jnp.asarray(x, dtype)
+    loc = jnp.asarray(loc, dtype)
+    scale = jnp.asarray(scale, dtype)
     if _base_dist(dist_name) == "laplace":
         return -jnp.abs(x - loc) / scale - jnp.log(2.0 * scale)
     return (
@@ -58,11 +62,14 @@ def dist_rsample(rng, dist_name: str, loc, scale, K: int = 1):
     Laplace uses the inverse-CDF transform (same as
     torch.distributions.Laplace.rsample).
     """
+    dtype = jnp.result_type(loc, scale)
+    loc = jnp.asarray(loc, dtype)
+    scale = jnp.asarray(scale, dtype)
     shape = loc.shape if K == 1 else (K, *loc.shape)
     if _base_dist(dist_name) == "laplace":
         finfo = jnp.finfo(loc.dtype)
         u = jax.random.uniform(
-            rng, shape, dtype=loc.dtype,
+            rng, shape, dtype=dtype,
             minval=-0.5 + finfo.eps, maxval=0.5,
         )
         return loc - scale * jnp.sign(u) * jnp.log1p(-2.0 * jnp.abs(u))
