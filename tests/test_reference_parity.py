@@ -244,3 +244,113 @@ def test_mvtcae_loss_function_agrees_with_manual(setup):
     manual = ((M - alpha) / M * loss_rec
               + beta * (alpha / M * kld_losses + (1 - alpha) * joint_kld))
     assert float(out.loss_sum) == pytest.approx(manual, rel=1e-5)
+
+
+def test_one_adam_step_matches_torch(setup):
+    """One Adam step in optax vs torch on the copied weights must land on
+    the same loss (validates gradient + optimizer parity end to end)."""
+    import optax
+    import torch
+
+    model, data = setup
+    batch = as_batch(MultimodalBaseDataset(data)[:])
+
+    # ---- our side: grads of the deterministic (z = mean) loss
+    def our_loss(params):
+        jmu, jlv, (mus, lvs, _) = model._joint_posterior(params, batch)
+        z = jmu
+        from multivae_tpu.models.base.base_ae_model import sum_except_batch
+
+        joint_kld = jnp.sum(-0.5 * jnp.sum(
+            1.0 - jnp.exp(jlv) - jmu**2 + jlv, axis=-1))
+        loss_rec = 0.0
+        for m in DIMS:
+            recon = model.decode_mod(params, m, z)
+            loss_rec += sum_except_batch(
+                -model.recon_log_probs[m](recon, batch.data[m])).sum()
+        kld_losses = 0.0
+        for i, m in enumerate(DIMS):
+            kld_losses += (-0.5 * jnp.sum(
+                1.0 - jnp.exp(jlv - lvs[i]) - (jmu - mus[i]) ** 2
+                / jnp.exp(lvs[i]) + jlv - lvs[i], axis=-1)).sum()
+        M, alpha, beta = 2.0, 0.3, 1.7
+        return ((M - alpha) / M * loss_rec
+                + beta * (alpha / M * kld_losses
+                          + (1 - alpha) * joint_kld)) / 8.0
+
+    lr = 1e-2
+    opt = optax.adam(lr)
+    grads = jax.grad(our_loss)(model.params)
+    updates, _ = opt.update(grads, opt.init(model.params), model.params)
+    new_params = optax.apply_updates(model.params, updates)
+    ours_after = float(our_loss(new_params))
+
+    # ---- torch side: same math, same weights, one torch.optim.Adam step
+    t_encs, t_decs, t_params = {}, {}, []
+    import torch.nn as tnn
+
+    modules = {}
+    for m in DIMS:
+        in_dim = int(np.prod(DIMS[m]))
+        enc = tnn.ModuleDict({
+            "l0": tnn.Linear(in_dim, HID), "l1": tnn.Linear(HID, HID),
+            "mu": tnn.Linear(HID, LATENT), "lv": tnn.Linear(HID, LATENT),
+        })
+        dec = tnn.ModuleDict({
+            "l0": tnn.Linear(LATENT, HID),
+            "l1": tnn.Linear(HID, in_dim),
+        })
+        pe = model.params["encoders"][m]
+        pd = model.params["decoders"][m]
+
+        def cp(lin, tree, name):
+            lin.weight.data = torch.tensor(np.asarray(tree[name]["kernel"]).T)
+            lin.bias.data = torch.tensor(np.asarray(tree[name]["bias"]))
+
+        cp(enc["l0"], pe, "Dense_0")
+        cp(enc["l1"], pe, "Dense_1")
+        cp(enc["mu"], pe, "Dense_2")
+        cp(enc["lv"], pe, "Dense_3")
+        cp(dec["l0"], pd, "Dense_0")
+        cp(dec["l1"], pd, "Dense_1")
+        modules[m] = (enc, dec)
+        t_params.extend(list(enc.parameters()) + list(dec.parameters()))
+
+    def torch_loss():
+        mus, lvs = [], []
+        for m in DIMS:
+            enc, _ = modules[m]
+            h = torch.relu(enc["l0"](torch.tensor(data[m])))
+            h = torch.relu(enc["l1"](h))
+            mus.append(enc["mu"](h))
+            lvs.append(enc["lv"](h))
+        t_mus, t_lvs = torch.stack(mus), torch.stack(lvs)
+        T = 1.0 / (torch.exp(t_lvs) + 1e-8)
+        jmu = (t_mus * T).sum(0) / T.sum(0)
+        jlv = torch.log(1.0 / T.sum(0))
+        z = jmu
+        joint_kld = -0.5 * torch.sum(1 - jlv.exp() - jmu.pow(2) + jlv)
+        loss_rec = 0.0
+        for m in DIMS:
+            _, dec = modules[m]
+            recon = torch.sigmoid(dec["l1"](torch.relu(dec["l0"](z))))
+            lp = torch.distributions.Normal(recon, 1.0).log_prob(
+                torch.tensor(data[m]).reshape(8, -1))
+            loss_rec = loss_rec + (-lp).sum()
+        klds = 0.0
+        for i in range(len(mus)):
+            klds = klds + (-0.5 * (
+                1 - (jlv - t_lvs[i]).exp()
+                - (jmu - t_mus[i]).pow(2) / t_lvs[i].exp() + jlv - t_lvs[i]
+            ).sum())
+        M, alpha, beta = 2.0, 0.3, 1.7
+        return ((M - alpha) / M * loss_rec
+                + beta * (alpha / M * klds + (1 - alpha) * joint_kld)) / 8.0
+
+    optim = torch.optim.Adam(t_params, lr=lr)
+    loss = torch_loss()
+    loss.backward()
+    optim.step()
+    theirs_after = float(torch_loss())
+
+    assert ours_after == pytest.approx(theirs_after, rel=1e-3)
