@@ -600,6 +600,29 @@ class BaseTrainer:
         all_recons = {}
         model = self.model
         if not isinstance(model, BaseMultiVAE):
+            # CVAE-style models: joint reconstruction of the main modality
+            # (reference ``base_trainer.py:829-885`` runs the joint block
+            # for CVAE too)
+            if hasattr(model, "main_modality"):
+                with self._with_params(self.best_params):
+                    recon = model.predict(batch, cond_mod="all", N=8,
+                                          flatten=True)
+                grids = {
+                    model.main_modality:
+                        predict_dataset.transform_for_plotting(
+                            np.asarray(recon[model.main_modality]),
+                            model.main_modality),
+                    "true_data": predict_dataset.transform_for_plotting(
+                        np.asarray(inputs_data[model.main_modality]),
+                        model.main_modality),
+                }
+                grids, _ = adapt_shape(grids)
+                grid = make_grid(
+                    np.concatenate([grids["true_data"],
+                                    grids[model.main_modality]], 0),
+                    nrow=n_data,
+                )
+                all_recons["all"] = grid_to_pil(grid)
             return all_recons
 
         with self._with_params(self.best_params):

@@ -222,3 +222,16 @@ def test_cvae_trains(cvae, tmp_path):
                             per_device_train_batch_size=8,
                             learning_rate=1e-3, n_devices=1)
     BaseTrainer(cvae, ds, training_config=cfg).train()
+
+
+def test_cvae_trainer_prediction_images(cvae, tmp_path):
+    ds = make_dataset("complete", n=16)
+    cfg = BaseTrainerConfig(output_dir=str(tmp_path), num_epochs=1,
+                            per_device_train_batch_size=8,
+                            learning_rate=1e-3, n_devices=1, steps_predict=1)
+    trainer = BaseTrainer(cvae, ds, training_config=cfg)
+    trainer.train()
+    import os
+
+    assert any(f.startswith("recon_from_") for f in
+               os.listdir(trainer.training_dir))
