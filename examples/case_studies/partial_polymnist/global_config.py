@@ -1,0 +1,152 @@
+"""Shared setup for the partial-PolyMNIST benchmark case study.
+
+Mirrors the protocol of the reference benchmark
+(``examples/case_studies/benchmarking_on_partial_polymnist/global_config.py``):
+5 PolyMNIST modalities, latent_dim 512, shared ConvNet encoders/decoders,
+laplace decoders with scale 0.75, Adam 1e-3 with ReduceLROnPlateau
+(patience 30), batch 256, and an evaluation suite of cross-coherences,
+joint coherence and conditional FIDs on the test split. Each model script
+overrides only its model-specific hyperparameters.
+
+Run any model script as, e.g.::
+
+    python mvtcae.py --seed 0 --missing_ratio 0.2 --keep_incomplete
+
+The ``missing_ratio`` argument reproduces the paper's MAR missingness; with
+``--keep_incomplete`` the incomplete samples stay in the train set (masked),
+otherwise they are dropped.
+"""
+
+import argparse
+import os
+import sys
+
+# allow running the scripts from this directory without installing the pkg
+_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                          "..", "..", ".."))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from multivae_tpu.data.datasets import MMNISTDataset
+from multivae_tpu.metrics import (
+    CoherenceEvaluator,
+    CoherenceEvaluatorConfig,
+    FIDEvaluator,
+    FIDEvaluatorConfig,
+)
+from multivae_tpu.metrics.classifiers.mmnist import load_mmnist_classifiers
+from multivae_tpu.nn import BaseAEConfig
+from multivae_tpu.nn.mmnist import DecoderConvMMNIST, EncoderConvMMNIST_adapted
+from multivae_tpu.trainers import BaseTrainerConfig
+from multivae_tpu.trainers.base.callbacks import (
+    WandbCallback,
+    wandb_is_available,
+)
+
+DATA_PATH = os.environ.get("MULTIVAE_DATA_PATH", ".data")
+SAVE_PATH = os.environ.get("MULTIVAE_SAVE_PATH",
+                           "experiments/partial_polymnist")
+FID_WEIGHTS = os.path.join(DATA_PATH, "fid_model/model.msgpack")
+CLASSIFIER_PATH = os.path.join(DATA_PATH, "clf")
+WANDB_PROJECT = "partial_polymnist_tpu"
+
+MODALITIES = ["m0", "m1", "m2", "m3", "m4"]
+
+base_config = dict(
+    n_modalities=len(MODALITIES),
+    latent_dim=512,
+    input_dims={m: (3, 28, 28) for m in MODALITIES},
+    decoders_dist={m: "laplace" for m in MODALITIES},
+    decoder_dist_params={m: {"scale": 0.75} for m in MODALITIES},
+)
+
+base_training_config = dict(
+    learning_rate=1e-3,
+    per_device_train_batch_size=256,
+    per_device_eval_batch_size=256,
+    num_epochs=800,
+    optimizer_cls="Adam",
+    optimizer_params={},
+    steps_predict=5,
+    scheduler_cls="ReduceLROnPlateau",
+    scheduler_params={"patience": 30},
+)
+
+
+def make_encoders(latent_dim=None, style_dim=0):
+    cfg = lambda: BaseAEConfig(  # noqa: E731
+        latent_dim=latent_dim or base_config["latent_dim"],
+        style_dim=style_dim, input_dim=(3, 28, 28),
+    )
+    return {m: EncoderConvMMNIST_adapted(cfg()) for m in MODALITIES}
+
+
+def make_decoders(latent_dim=None):
+    cfg = BaseAEConfig(
+        latent_dim=latent_dim or base_config["latent_dim"],
+        input_dim=(3, 28, 28),
+    )
+    return {m: DecoderConvMMNIST(cfg) for m in MODALITIES}
+
+
+def argument_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--missing_ratio", type=float, default=0.0)
+    p.add_argument("--keep_incomplete", action="store_true")
+    return p
+
+
+def get_datasets(args):
+    train = MMNISTDataset(
+        data_path=DATA_PATH, split="train",
+        missing_ratio=args.missing_ratio,
+        keep_incomplete=args.keep_incomplete,
+    )
+    test = MMNISTDataset(data_path=DATA_PATH, split="test")
+    return train, test
+
+
+def model_save_path(model, args):
+    return os.path.join(
+        SAVE_PATH, model.model_name,
+        f"missing_{args.missing_ratio}_keep_{args.keep_incomplete}",
+        f"seed_{args.seed}",
+    )
+
+
+def make_trainer_config(model, args, **overrides):
+    cfg = dict(base_training_config)
+    cfg.update(overrides)
+    return BaseTrainerConfig(
+        **cfg, seed=args.seed, output_dir=model_save_path(model, args),
+    )
+
+
+def make_callbacks(trainer_config, model_config):
+    if not wandb_is_available():
+        return None
+    cb = WandbCallback()
+    cb.setup(trainer_config, model_config, project_name=WANDB_PROJECT)
+    return [cb]
+
+
+def eval_model(model, output_dir, test_data):
+    """Coherences + conditional FIDs, logged under the training dir."""
+    clfs = load_mmnist_classifiers(CLASSIFIER_PATH)
+    coh = CoherenceEvaluator(
+        model, clfs, test_data, output=output_dir,
+        eval_config=CoherenceEvaluatorConfig(batch_size=512, num_classes=10),
+    )
+    coh.eval()
+    coh.finish()
+
+    if os.path.exists(FID_WEIGHTS):
+        fid = FIDEvaluator(
+            model, test_data, output=output_dir,
+            eval_config=FIDEvaluatorConfig(
+                batch_size=256, inception_weights_path=FID_WEIGHTS,
+            ),
+        )
+        fid.compute_all_conditional_fids(gen_mod="m0")
+        fid.finish()

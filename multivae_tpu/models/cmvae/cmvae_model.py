@@ -24,9 +24,14 @@ import jax
 import jax.numpy as jnp
 
 from ...data.batch import MultimodalBatch, as_batch
-from ...ops.kdist import dist_log_prob, dist_rsample, log_var_to_std
+from ...ops.kdist import (
+    dist_log_prob,
+    dist_rsample,
+    log_var_to_std,
+    mixture_logsumexp,
+)
 from ...utils.model_output import ModelOutput
-from ..mmvaePlus.mmvaePlus_model import MMVAEPlus, _NEG_FILL
+from ..mmvaePlus.mmvaePlus_model import MMVAEPlus
 from .cmvae_config import CMVAEConfig
 
 logger = logging.getLogger(__name__)
@@ -109,12 +114,9 @@ class CMVAE(MMVAEPlus):
             self.dist_name, W, w_mu[:, None], w_sig[:, None]
         ).sum(-1)
 
-        lqu = dist_log_prob(
-            self.dist_name, U[None], u_mu[:, None, None],
-            u_sig[:, None, None],
-        ).sum(-1)
-        lqu = jnp.where(mask[:, None, None, :] > 0, lqu, _NEG_FILL)
-        lqu_x = jax.nn.logsumexp(lqu, axis=0) - jnp.log(n_mods_sample)
+        lqu_x = mixture_logsumexp(U, u_mu, u_sig, mask, self.dist_name) - (
+            jnp.log(n_mods_sample)
+        )
 
         # log p(z|c) for all clusters and modalities: (C, M, K, B)
         lpzc = dist_log_prob(

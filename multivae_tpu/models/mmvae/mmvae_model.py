@@ -33,14 +33,12 @@ from ...ops.kdist import (
     dist_log_prob,
     dist_rsample,
     log_var_to_std,
+    mixture_logsumexp,
 )
 from ...utils.model_output import ModelOutput
 from ..base.base_ae_model import BaseMultiVAE
 from ..base.step import StepInfo
 from .mmvae_config import MMVAEConfig
-
-_NEG_FILL = -1e30
-
 
 class MMVAE(BaseMultiVAE):
     """Variational Mixture-of-Experts Autoencoder."""
@@ -129,11 +127,9 @@ class MMVAE(BaseMultiVAE):
         if detach_posteriors:
             mus = jax.lax.stop_gradient(mus)
             sigmas = jax.lax.stop_gradient(sigmas)
-        lq = dist_log_prob(
-            self.dist_name, Z[None], mus[:, None, None], sigmas[:, None, None]
-        ).sum(-1)  # (Mq, Mz, K, B)
-        lq = jnp.where(mask[:, None, None, :] > 0, lq, _NEG_FILL)
-        lqz_x = jax.nn.logsumexp(lq, axis=0) - jnp.log(n_mods_sample)
+        lqz_x = mixture_logsumexp(Z, mus, sigmas, mask, self.dist_name) - (
+            jnp.log(n_mods_sample)
+        )
 
         # sum_m log p(x_m | z): ONE decode per recon modality on (M*K*B)
         lpx_z = 0.0

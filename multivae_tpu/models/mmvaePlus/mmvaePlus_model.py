@@ -29,14 +29,12 @@ from ...ops.kdist import (
     dist_log_prob,
     dist_rsample,
     log_var_to_std,
+    mixture_logsumexp,
 )
 from ...utils.model_output import ModelOutput
 from ..base.base_ae_model import BaseMultiVAE
 from ..base.step import StepInfo
 from .mmvaePlus_config import MMVAEPlusConfig
-
-_NEG_FILL = -1e30
-
 
 class MMVAEPlus(BaseMultiVAE):
     """The MMVAE+ model."""
@@ -216,13 +214,10 @@ class MMVAEPlus(BaseMultiVAE):
         u_mu, u_sig, w_mu, w_sig = self._stacked_posteriors(
             posteriors, detach_posteriors
         )
-        # mixture over experts for the shared code: (Mq, Mz, K, B)
-        lqu = dist_log_prob(
-            self.dist_name, U[None], u_mu[:, None, None],
-            u_sig[:, None, None],
-        ).sum(-1)
-        lqu = jnp.where(mask[:, None, None, :] > 0, lqu, _NEG_FILL)
-        lqu_x = jax.nn.logsumexp(lqu, axis=0) - jnp.log(n_mods_sample)
+        # mixture over experts for the shared code: (Mz, K, B)
+        lqu_x = mixture_logsumexp(U, u_mu, u_sig, mask, self.dist_name) - (
+            jnp.log(n_mods_sample)
+        )
 
         # private posterior density, own modality only: (M, K, B)
         lqw_x = dist_log_prob(

@@ -56,6 +56,20 @@ def dist_log_prob(dist_name: str, x, loc, scale):
     )
 
 
+def mixture_logsumexp(z, mus, sigmas, mask, dist_name: str):
+    """logsumexp over experts of the masked MoE density (MZ, K, B).
+
+    The hot op of the MMVAE-family objectives (reference
+    ``mmvae_model.py:160-236`` evaluates every expert against every
+    modality's samples). Dispatches to the fused Pallas TPU kernel when
+    shapes/dtypes allow; otherwise the XLA composition.
+    """
+    from .pallas_mixture import mixture_log_density
+
+    return mixture_log_density(z, mus, sigmas, mask,
+                               dist=_base_dist(dist_name))
+
+
 def dist_rsample(rng, dist_name: str, loc, scale, K: int = 1):
     """Reparameterized sampling; K > 1 prepends a sample axis.
 

@@ -488,6 +488,14 @@ class BaseTrainer:
         return (self._best_params if self._best_params is not None
                 else self.model.params)
 
+    @property
+    def best_model(self):
+        """The model carrying the best-eval params (reference keeps a
+        deepcopied ``_best_model``; here params are snapshots, so the live
+        model is rebound to the best snapshot)."""
+        self.model.params = self.best_params
+        return self.model
+
     # ------------------------------------------------------------ save/load
     def _with_params(self, params):
         """Context: temporarily swap model params."""
