@@ -55,6 +55,9 @@ def make_optimizer(optimizer_cls: str, learning_rate: float,
         )
     ctor, allowed = _OPTIMIZERS[optimizer_cls]
     params = _translate_torch_params(optimizer_params or {})
+    # torch spells AMSGrad as Adam(amsgrad=True); optax has a separate ctor
+    if optimizer_cls == "Adam" and params.pop("amsgrad", False):
+        ctor = optax.amsgrad
     unknown = set(params) - allowed
     if unknown:
         raise TypeError(

@@ -91,6 +91,18 @@ def test_reduce_on_plateau():
     assert s.step(1.0) == 0.5    # improvement
 
 
+def test_adam_amsgrad_variant(model):
+    """torch spells AMSGrad as Adam(amsgrad=True) — the reference MMVAE+
+    reproduction uses it (``examples/mmvae_plus/mmnist.py``)."""
+    import jax.numpy as jnp
+
+    opt = make_optimizer("Adam", 1e-3, {"amsgrad": True})
+    state = opt.init(model.params)
+    grads = jax.tree.map(jnp.ones_like, model.params)
+    updates, _ = opt.update(grads, state, model.params)
+    assert jnp.isfinite(jax.tree_util.tree_leaves(updates)[0]).all()
+
+
 def test_optimizer_state_roundtrip(model):
     import flax.serialization as ser
 
