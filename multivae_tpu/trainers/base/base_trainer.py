@@ -150,6 +150,14 @@ class BaseTrainer:
             training_config.scheduler_params,
         )
 
+        # lazily-initialized models (MHVAE) get their params built from a
+        # real batch here, so users never need a warmup forward call
+        if (getattr(model, "params", None) is None
+                and hasattr(model, "init_params_with_batch")):
+            from ...data.batch import as_batch
+
+            model.init_params_with_batch(as_batch(train_dataset[:2]))
+
         params = model._ensure_params()
         self.state = TrainState(
             params=params,

@@ -173,11 +173,24 @@ def test_mhvae_save_load(mhvae, tmp_path):
     assert same
 
 
+def test_mhvae_trains_without_warmup_forward(mhvae, tmp_path):
+    """The trainer must initialize lazily-built MHVAE params itself."""
+    from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
+
+    ds = make_dataset("complete", n=16)
+    assert mhvae.params is None
+    cfg = BaseTrainerConfig(output_dir=str(tmp_path), num_epochs=1,
+                            per_device_train_batch_size=8,
+                            learning_rate=1e-3, n_devices=1)
+    BaseTrainer(mhvae, ds, training_config=cfg).train()
+    assert mhvae.params is not None
+
+
 def test_mhvae_trains(mhvae, tmp_path):
     from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
 
     ds = make_dataset("complete", n=16)
-    mhvae.forward(ds[:8])  # initialize params before the trainer snapshot
+    mhvae.forward(ds[:8])  # explicit init also still works
     cfg = BaseTrainerConfig(output_dir=str(tmp_path), num_epochs=2,
                             per_device_train_batch_size=8,
                             learning_rate=1e-3, n_devices=1)
