@@ -4,6 +4,7 @@ from .datasets.base import (
     IncompleteDataset,
     MultimodalBaseDataset,
     ResampleDataset,
+    random_split,
 )
 from .loader import DataLoader
 
@@ -14,4 +15,5 @@ __all__ = [
     "MultimodalBaseDataset",
     "MultimodalBatch",
     "ResampleDataset",
+    "random_split",
 ]

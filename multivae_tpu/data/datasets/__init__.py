@@ -1,4 +1,10 @@
-from .base import DatasetOutput, IncompleteDataset, MultimodalBaseDataset, ResampleDataset
+from .base import (
+    DatasetOutput,
+    IncompleteDataset,
+    MultimodalBaseDataset,
+    ResampleDataset,
+    random_split,
+)
 from .celeba import CelebAttr
 from .cub import CUB, CUBSentences
 from .mhd import MHD
@@ -19,5 +25,6 @@ __all__ = [
     "MnistSvhn",
     "MultimodalBaseDataset",
     "ResampleDataset",
+    "random_split",
     "TranslatedMMNIST",
 ]

@@ -164,3 +164,28 @@ class ResampleDataset(MultimodalBaseDataset):
 
     def transform_for_plotting(self, tensor, modality):
         return self.dataset.transform_for_plotting(tensor, modality)
+
+
+def random_split(dataset, fractions, seed: int = 0):
+    """Split a dataset into ResampleDataset views (torch.utils.data
+    ``random_split`` parity, used by the reference case studies for a
+    90/10 train/eval split).
+
+    Args:
+        dataset: any multimodal dataset.
+        fractions: sequence of floats summing to 1 (e.g. ``[0.9, 0.1]``).
+        seed: permutation seed.
+    """
+    fracs = np.asarray(list(fractions), dtype=np.float64)
+    if not np.isclose(fracs.sum(), 1.0):
+        raise ValueError(f"fractions must sum to 1, got {fracs.sum()}")
+    n = len(dataset)
+    perm = np.random.default_rng(seed).permutation(n)
+    sizes = np.floor(fracs * n).astype(int)
+    sizes[0] += n - sizes.sum()  # remainder to the first split (torch puts
+    # remainders on the earliest splits; exact parity is not required)
+    out, start = [], 0
+    for s in sizes:
+        out.append(ResampleDataset(dataset, perm[start:start + s]))
+        start += s
+    return out

@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-from .base import DatasetOutput, IncompleteDataset, MultimodalBaseDataset
+from .base import IncompleteDataset, MultimodalBaseDataset
 
 
 def unstack_audio(audio: np.ndarray) -> np.ndarray:

@@ -17,7 +17,7 @@ from typing import Literal
 
 import numpy as np
 
-from .base import DatasetOutput, MultimodalBaseDataset
+from .base import MultimodalBaseDataset
 
 logger = logging.getLogger(__name__)
 

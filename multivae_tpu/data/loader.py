@@ -20,7 +20,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from .batch import MultimodalBatch, batch_from_arrays
-from .datasets.base import IncompleteDataset, MultimodalBaseDataset
+from .datasets.base import MultimodalBaseDataset
 
 
 class DataLoader:

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from flax import serialization
 
 from ...utils.config import EnvironmentConfig
-from .base_config import BaseMultiVAEConfig
 
 logger = logging.getLogger(__name__)
 

@@ -15,8 +15,6 @@ Shares the posterior/embedding/reconstruction machinery with MMVAEPlus
 from __future__ import annotations
 
 import logging
-import math
-from typing import Union
 
 import numpy as np
 

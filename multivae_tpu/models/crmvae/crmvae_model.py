@@ -10,7 +10,6 @@ precision masking (reference sets log_var=+inf, ``crmvae_model.py:128-140``).
 from __future__ import annotations
 
 from functools import partial
-from typing import Union
 
 import jax
 import jax.numpy as jnp

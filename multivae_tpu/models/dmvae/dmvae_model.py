@@ -12,7 +12,6 @@ them per chunk (the mathematically correct IWAE estimator).
 from __future__ import annotations
 
 from functools import partial
-from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -8,9 +8,7 @@ annealing; subset encoding via the exact PoE of unimodal Gaussians
 
 from __future__ import annotations
 
-from typing import Union
 
-import jax
 import jax.numpy as jnp
 
 from ...data.batch import MultimodalBatch

@@ -8,9 +8,7 @@ IWAE joint NLL. Incomplete datasets are rejected (parity: ``:69-81``).
 from __future__ import annotations
 
 from functools import partial
-from typing import Union
 
-import jax
 import jax.numpy as jnp
 
 from ...data.batch import MultimodalBatch, as_batch

@@ -13,7 +13,7 @@ layout) — the reference concatenates on torch's channel axis 1.
 
 from __future__ import annotations
 
-from typing import Dict, List, Union
+from typing import List, Union
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Union
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +31,7 @@ from ...ops.kdist import (
     check_dist_name,
     dist_log_prob,
     dist_rsample,
+    dist_rsample_k,
     log_var_to_std,
     mixture_logsumexp,
 )
@@ -95,7 +95,7 @@ class MMVAE(BaseMultiVAE):
         rngs = jax.random.split(rng, len(post_params))
         for i, m in enumerate(post_params):
             mu, sigma = post_params[m]
-            zs[m] = dist_rsample(rngs[i], self.dist_name, mu, sigma, K=K)
+            zs[m] = dist_rsample_k(rngs[i], self.dist_name, mu, sigma, K)
         return zs
 
     def _compute_k_lws(self, params, batch: MultimodalBatch, post_params,
@@ -267,7 +267,7 @@ class MMVAE(BaseMultiVAE):
         prior_mu, prior_std = self.pz_params(params)
 
         def logw_chunk(rng, chunk: int):
-            z = dist_rsample(rng, self.dist_name, e_mu, e_sigma, K=chunk)
+            z = dist_rsample_k(rng, self.dist_name, e_mu, e_sigma, chunk)
             lpx_z = 0.0
             for m in mods:
                 recon = self.decode_mod(params, m, z)

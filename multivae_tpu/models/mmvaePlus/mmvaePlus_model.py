@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Union
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +27,7 @@ from ...ops.kdist import (
     check_dist_name,
     dist_log_prob,
     dist_rsample,
+    dist_rsample_k,
     log_var_to_std,
     mixture_logsumexp,
 )
@@ -133,10 +133,10 @@ class MMVAEPlus(BaseMultiVAE):
         zs = {}
         rngs = jax.random.split(rng, 2 * len(posteriors))
         for i, m in enumerate(posteriors):
-            u = dist_rsample(rngs[2 * i], self.dist_name,
-                             *posteriors[m]["u"], K=K)
-            w = dist_rsample(rngs[2 * i + 1], self.dist_name,
-                             *posteriors[m]["w"], K=K)
+            u = dist_rsample_k(rngs[2 * i], self.dist_name,
+                               *posteriors[m]["u"], K)
+            w = dist_rsample_k(rngs[2 * i + 1], self.dist_name,
+                               *posteriors[m]["w"], K)
             zs[m] = {"u": u, "w": w}
         return zs
 
@@ -169,11 +169,11 @@ class MMVAEPlus(BaseMultiVAE):
         rngs = jax.random.split(rng, len(mods))
         for j, recon_mod in enumerate(mods):
             p_mu, p_std = self._modality_prior(params, recon_mod)
-            w_prior = dist_rsample(
+            w_prior = dist_rsample_k(
                 rngs[j], self.dist_name,
                 jnp.broadcast_to(p_mu, (len(mods), B, p_mu.shape[-1])),
                 jnp.broadcast_to(p_std, (len(mods), B, p_std.shape[-1])),
-                K=K,
+                K,
             )  # (K, M, B, S)
             w_prior = jnp.moveaxis(w_prior, 0, 1)  # (M, K, B, S)
             cross_w[recon_mod] = w_prior

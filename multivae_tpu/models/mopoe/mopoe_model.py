@@ -16,7 +16,6 @@ Behavior parity with reference ``src/multivae/models/mopoe/mopoe_model.py``
 from __future__ import annotations
 
 from functools import partial
-from typing import Union
 
 import numpy as np
 

@@ -18,7 +18,6 @@ compiled program is fixed-shape.
 from __future__ import annotations
 
 from functools import partial
-from typing import Union
 
 import numpy as np
 

@@ -10,9 +10,7 @@ log_var=+inf at ``mvtcae_model.py:128-130`` and index-zeroes at ``:90-93``).
 from __future__ import annotations
 
 from functools import partial
-from typing import Union
 
-import jax
 import jax.numpy as jnp
 
 from ...data.batch import MultimodalBatch, as_batch

@@ -13,7 +13,7 @@ argsorted uniform scores, all inside the compiled program.
 
 from __future__ import annotations
 
-from typing import Dict, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ encoder's log_var in the ``1 + log_var`` summand (``telbo_model.py:117``).
 
 from __future__ import annotations
 
-from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -56,6 +56,14 @@ def dist_log_prob(dist_name: str, x, loc, scale):
     )
 
 
+def dist_rsample_k(rng, dist_name: str, loc, scale, K: int):
+    """Like ``dist_rsample`` but ALWAYS returns a leading K axis, including
+    K=1 (the MMVAE+ paper protocol trains with K=1; the K-sample
+    objectives index that axis, reference ``mmvaePlus_model.py:151``)."""
+    z = dist_rsample(rng, dist_name, loc, scale, K=K)
+    return z[None] if K == 1 else z
+
+
 def mixture_logsumexp(z, mus, sigmas, mask, dist_name: str):
     """logsumexp over experts of the masked MoE density (MZ, K, B).
 

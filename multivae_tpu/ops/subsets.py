@@ -12,7 +12,7 @@ axis inside a single compiled program.
 from __future__ import annotations
 
 from itertools import chain, combinations
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

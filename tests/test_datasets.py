@@ -276,3 +276,36 @@ def test_resample_dataset():
     np.testing.assert_allclose(sub[0]["data"]["a"], ds.data["a"][2])
     batch = sub.get_batch(np.array([0, 2]))
     np.testing.assert_allclose(batch["data"]["a"], ds.data["a"][[2, 6]])
+
+
+def test_random_split():
+    from multivae_tpu.data import (
+        IncompleteDataset,
+        MultimodalBaseDataset,
+        random_split,
+    )
+
+    rng = np.random.default_rng(0)
+    ds = MultimodalBaseDataset(
+        {"a": rng.normal(size=(20, 3)).astype(np.float32)},
+        labels=np.arange(20),
+    )
+    tr, ev = random_split(ds, [0.9, 0.1], seed=1)
+    assert len(tr) == 18 and len(ev) == 2
+    # disjoint cover of the dataset
+    assert sorted(np.concatenate([tr.indices, ev.indices])) == list(range(20))
+    # deterministic under the same seed
+    tr2, _ = random_split(ds, [0.9, 0.1], seed=1)
+    np.testing.assert_array_equal(tr.indices, tr2.indices)
+
+    with pytest.raises(ValueError):
+        random_split(ds, [0.5, 0.4])
+
+    # masks flow through the split views
+    inc = IncompleteDataset(
+        data={"a": rng.normal(size=(10, 3)).astype(np.float32)},
+        masks={"a": np.arange(10) % 2 == 0},
+    )
+    tr, ev = random_split(inc, [0.8, 0.2], seed=0)
+    b = tr.get_batch(np.arange(len(tr)))
+    assert "masks" in b and b["masks"]["a"].shape == (8,)

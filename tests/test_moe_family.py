@@ -31,21 +31,22 @@ STYLE = 3
 
 
 def make_model(name, **kw):
+    K = kw.pop("K", 3)
     if name == "mmvae":
         return MMVAE(MMVAEConfig(n_modalities=3, latent_dim=LATENT,
-                                 input_dims=DIMS, K=3, **kw))
+                                 input_dims=DIMS, K=K, **kw))
     if name == "mmvae_normal":
         return MMVAE(MMVAEConfig(n_modalities=3, latent_dim=LATENT,
-                                 input_dims=DIMS, K=3,
+                                 input_dims=DIMS, K=K,
                                  prior_and_posterior_dist="normal",
                                  loss="iwae_looser", **kw))
     if name == "mmvaeplus":
         return MMVAEPlus(MMVAEPlusConfig(
-            n_modalities=3, latent_dim=LATENT, input_dims=DIMS, K=3,
+            n_modalities=3, latent_dim=LATENT, input_dims=DIMS, K=K,
             modalities_specific_dim=STYLE, **kw))
     if name == "cmvae":
         return CMVAE(CMVAEConfig(
-            n_modalities=3, latent_dim=LATENT, input_dims=DIMS, K=3,
+            n_modalities=3, latent_dim=LATENT, input_dims=DIMS, K=K,
             modalities_specific_dim=STYLE, number_of_clusters=4, **kw))
     raise ValueError(name)
 
@@ -195,3 +196,17 @@ def test_two_epoch_training(name, tmp_path):
         per_device_train_batch_size=8, learning_rate=1e-3, n_devices=1,
     )
     BaseTrainer(model, ds, eval_dataset=ds, training_config=cfg).train()
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_k_equals_one(name):
+    """K=1 is the MMVAE+ paper training protocol (reference
+    ``examples/mmvae_plus/mmnist.py`` uses K=1 for 150 epochs): the K-sample
+    machinery must keep its sample axis when K == 1."""
+    model = make_model(name, K=1)
+    ds = make_dataset("complete")
+    out = model.forward(ds[:])
+    assert np.isfinite(float(out.loss))
+
+    nll = model.compute_joint_nll(ds[:4], K=2, batch_size_K=1)
+    assert np.isfinite(float(nll))
