@@ -76,3 +76,38 @@ def test_mvtcae_learns_cross_modal_structure(tmp_path):
     assert mean_acc > 0.8, f"cross coherence a->b too low: {mean_acc}"
     _, mean_acc_b = ev.coherence_from_subset(["b"])
     assert mean_acc_b > 0.8, f"cross coherence b->a too low: {mean_acc_b}"
+
+
+@pytest.mark.slow
+def test_mmvae_learns_cross_modal_structure(tmp_path):
+    """Same protocol for the MoE family: DReG-trained MMVAE must transfer
+    class structure across modalities well above chance."""
+    from multivae_tpu.models import MMVAE, MMVAEConfig
+
+    train, ca, cb = make_structured_dataset(600, seed=0)
+    test, _, _ = make_structured_dataset(120, seed=1)
+
+    model = MMVAE(MMVAEConfig(
+        n_modalities=2, latent_dim=8, K=4,
+        input_dims={"a": (8,), "b": (12,)},
+        prior_and_posterior_dist="normal", learn_prior=False,
+        decoders_dist={"a": "normal", "b": "normal"},
+        decoder_dist_params={"a": {"scale": 0.05}, "b": {"scale": 0.05}},
+    ), seed=0)
+    cfg = BaseTrainerConfig(
+        output_dir=str(tmp_path), num_epochs=30,
+        per_device_train_batch_size=100, learning_rate=2e-3, n_devices=1,
+    )
+    BaseTrainer(model, train, training_config=cfg).train()
+
+    clfs = {"a": nearest_center_classifier(ca),
+            "b": nearest_center_classifier(cb)}
+    ev = CoherenceEvaluator(
+        model, clfs, test,
+        eval_config=CoherenceEvaluatorConfig(
+            batch_size=120, num_classes=N_CLASSES, nb_samples_for_joint=100),
+    )
+    _, acc_a = ev.coherence_from_subset(["a"])
+    assert acc_a > 0.8, f"cross coherence a->b too low: {acc_a}"
+    _, acc_b = ev.coherence_from_subset(["b"])
+    assert acc_b > 0.8, f"cross coherence b->a too low: {acc_b}"
