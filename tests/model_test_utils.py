@@ -99,4 +99,11 @@ def check_save_load(model, cls, tmp_path):
         model.params, loaded.params,
     ))
     assert same
+
+    # AutoModel must resolve the class from the saved config name
+    # (reference ``auto_model.py:38-114``)
+    from multivae_tpu.models import AutoModel
+
+    auto = AutoModel.load_from_folder(d)
+    assert type(auto) is type(model)
     return loaded
