@@ -33,8 +33,10 @@ logger = logging.getLogger(__name__)
 
 def sum_except_batch(x, batch_ndims: int = 1):
     """Sum all but the leading ``batch_ndims`` axes (reference's
-    ``.reshape(B, -1).sum(-1)`` idiom)."""
-    return x.reshape(*x.shape[:batch_ndims], -1).sum(-1)
+    ``.reshape(B, -1).sum(-1)`` idiom). Accumulates in float32: under
+    bf16 mixed precision a plain bf16 sum over thousands of recon dims
+    loses ~all precision past ~256 elements (8-bit mantissa)."""
+    return x.reshape(*x.shape[:batch_ndims], -1).sum(-1, dtype=jnp.float32)
 
 
 class BaseMultiVAE(BaseModel):

@@ -103,14 +103,15 @@ class CMVAE(MMVAEPlus):
         W = jnp.stack([zs[m]["w"] for m in mods])  # (M, K, B, S)
 
         # log p(w) under the fixed regularizing prior: (M, K, B)
-        lpw = dist_log_prob(self.dist_name, W, w_mu_p, w_std_p).sum(-1)
+        lpw = dist_log_prob(self.dist_name, W, w_mu_p,
+                            w_std_p).sum(-1, dtype=jnp.float32)
 
         u_mu, u_sig, w_mu, w_sig = self._stacked_posteriors(
             posteriors, detach_posteriors
         )
         lqw_x = dist_log_prob(
             self.dist_name, W, w_mu[:, None], w_sig[:, None]
-        ).sum(-1)
+        ).sum(-1, dtype=jnp.float32)
 
         lqu_x = mixture_logsumexp(U, u_mu, u_sig, mask, self.dist_name) - (
             jnp.log(n_mods_sample)
@@ -120,7 +121,7 @@ class CMVAE(MMVAEPlus):
         lpzc = dist_log_prob(
             self.dist_name, U[None], cluster_means[:, None, None, None, :],
             cluster_stds[:, None, None, None, :],
-        ).sum(-1)
+        ).sum(-1, dtype=jnp.float32)
         qzc = jax.nn.softmax(lpc[:, None, None, None] + lpzc, axis=0) + 1e-20
 
         lpx_z = 0.0
@@ -129,7 +130,8 @@ class CMVAE(MMVAEPlus):
                 recons[recon_mod], batch.data[recon_mod][None, None]
             )
             factor = 1.0 if unit_rescale else self.rescale_factors[recon_mod]
-            lp = lp.reshape(*lp.shape[:3], -1).sum(-1) * factor
+            lp = lp.reshape(*lp.shape[:3], -1).sum(-1,
+                                                    dtype=jnp.float32) * factor
             lp = lp * batch.masks[recon_mod][None, None, :]
             lpx_z = lpx_z + lp  # (M, K, B)
 

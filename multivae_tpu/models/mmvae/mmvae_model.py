@@ -118,7 +118,8 @@ class MMVAE(BaseMultiVAE):
         Z = jnp.stack([zs[m] for m in mods])  # (M, K, B, D)
 
         # log p(z): (M, K, B)
-        lpz = dist_log_prob(self.dist_name, Z, prior_mu, prior_std).sum(-1)
+        lpz = dist_log_prob(self.dist_name, Z, prior_mu,
+                            prior_std).sum(-1, dtype=jnp.float32)
 
         # mixture density log q(z|X): evaluate every expert against every
         # modality's samples in one broadcasted op -> (Mq, Mz, K, B)
@@ -138,7 +139,7 @@ class MMVAE(BaseMultiVAE):
             lp = self.recon_log_probs[recon_mod](
                 recon, batch.data[recon_mod][None, None]
             )
-            lp = lp.reshape(*lp.shape[:3], -1).sum(-1) * (
+            lp = lp.reshape(*lp.shape[:3], -1).sum(-1, dtype=jnp.float32) * (
                 self.rescale_factors[recon_mod]
             )
             lp = lp * batch.masks[recon_mod][None, None, :]
@@ -272,11 +273,14 @@ class MMVAE(BaseMultiVAE):
             for m in mods:
                 recon = self.decode_mod(params, m, z)
                 lp = self.recon_log_probs[m](recon, batch.data[m][None])
-                lpx_z = lpx_z + lp.reshape(*lp.shape[:2], -1).sum(-1)
-            lpz = dist_log_prob(self.dist_name, z, prior_mu, prior_std).sum(-1)
+                lpx_z = lpx_z + lp.reshape(*lp.shape[:2], -1).sum(
+                    -1, dtype=jnp.float32)
+            lpz = dist_log_prob(self.dist_name, z, prior_mu,
+                                prior_std).sum(-1, dtype=jnp.float32)
             lqz = jax.nn.logsumexp(
                 jnp.stack([
-                    dist_log_prob(self.dist_name, z, mus[i], sigmas[i]).sum(-1)
+                    dist_log_prob(self.dist_name, z, mus[i],
+                                  sigmas[i]).sum(-1, dtype=jnp.float32)
                     for i in range(len(mods))
                 ]), axis=0,
             ) - math.log(self.n_modalities)

@@ -209,7 +209,8 @@ class MMVAEPlus(BaseMultiVAE):
         W = jnp.stack([zs[m]["w"] for m in mods])  # (M, K, B, S)
         Z = jnp.concatenate([U, W], axis=-1)
 
-        lpz = dist_log_prob(self.dist_name, Z, pz_mu, pz_std).sum(-1)
+        lpz = dist_log_prob(self.dist_name, Z, pz_mu,
+                            pz_std).sum(-1, dtype=jnp.float32)
 
         u_mu, u_sig, w_mu, w_sig = self._stacked_posteriors(
             posteriors, detach_posteriors
@@ -222,7 +223,7 @@ class MMVAEPlus(BaseMultiVAE):
         # private posterior density, own modality only: (M, K, B)
         lqw_x = dist_log_prob(
             self.dist_name, W, w_mu[:, None], w_sig[:, None]
-        ).sum(-1)
+        ).sum(-1, dtype=jnp.float32)
 
         lpx_z = 0.0
         for j, recon_mod in enumerate(mods):
@@ -230,7 +231,8 @@ class MMVAEPlus(BaseMultiVAE):
                 recons[recon_mod], batch.data[recon_mod][None, None]
             )
             factor = 1.0 if unit_rescale else self.rescale_factors[recon_mod]
-            lp = lp.reshape(*lp.shape[:3], -1).sum(-1) * factor
+            lp = lp.reshape(*lp.shape[:3], -1).sum(-1,
+                                                    dtype=jnp.float32) * factor
             lp = lp * batch.masks[recon_mod][None, None, :]
             lpx_z = lpx_z + lp
 

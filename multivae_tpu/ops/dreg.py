@@ -26,7 +26,9 @@ def _scale_grad_fwd(x, w):
 
 
 def _scale_grad_bwd(w, g):
-    return (g * w, None)
+    # keep the cotangent in the primal dtype (w may be f32 under bf16
+    # mixed precision; a promoted cotangent breaks bf16 transpose rules)
+    return ((g * w).astype(g.dtype), None)
 
 
 scale_grad.defvjp(_scale_grad_fwd, _scale_grad_bwd)

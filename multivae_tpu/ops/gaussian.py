@@ -36,7 +36,7 @@ def kl_divergence(mean, log_var, prior_mean, prior_log_var):
         + (mean - prior_mean) ** 2 / jnp.exp(prior_log_var)
         - 1.0
     )
-    return kl.sum(axis=-1)
+    return kl.sum(axis=-1, dtype=jnp.float32)
 
 
 def gaussian_log_prob(x, mean, log_var):

@@ -61,7 +61,7 @@ def mixture_log_density_xla(z, mus, sigmas, mask, dist: str = "laplace"):
     """Reference XLA composition: (MZ,K,B,D),(MQ,B,D),(MQ,B,D),(MQ,B) ->
     (MZ,K,B)."""
     lq = _logf_terms(dist, z[None], mus[:, None, None],
-                     sigmas[:, None, None]).sum(-1)
+                     sigmas[:, None, None]).sum(-1, dtype=jnp.float32)
     lq = jnp.where(mask[:, None, None, :] > 0, lq, _NEG)
     return jax.nn.logsumexp(lq, axis=0)
 
@@ -153,7 +153,7 @@ def _pallas_supported(z, mus, b_tile: int) -> bool:
 def _const_t(sigmas, mask, d: int, dist: str):
     """(B, MQ) per-expert constant: -sum_d log sig - D*c, -1e30 if masked."""
     c = _LOG2 if dist == "laplace" else _HALF_LOG_2PI
-    const = -jnp.log(sigmas).sum(-1) - d * c        # (MQ, B)
+    const = -jnp.log(sigmas).sum(-1, dtype=jnp.float32) - d * c  # (MQ, B)
     return jnp.where(mask > 0, const, _NEG).T       # (B, MQ)
 
 
