@@ -252,11 +252,49 @@ def bench_nll_torch(n_data_small=8, K=1000, batch_size_K=100, n_data=512):
     return dt * (n_data / n_data_small)  # extrapolate to full batch
 
 
+def bench_mmvae_bf16(n_steps=15):
+    """MoE-family step (MMVAE dreg_looser, M=5, K=10, B=256, D=512) under
+    bf16 mixed precision — the MXU-bound workload (SURVEY §3.2)."""
+    import jax
+
+    from multivae_tpu.data.batch import batch_from_arrays
+    from multivae_tpu.models import MMVAE, MMVAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+    from multivae_tpu.trainers.base.base_trainer import _to_bf16
+
+    M, X = 5, (3, 28, 28)
+    rng = np.random.default_rng(0)
+    data = {f"m{i}": rng.random((BATCH, *X), dtype=np.float32)
+            for i in range(M)}
+    batch = batch_from_arrays(data=data)
+    model = MMVAE(MMVAEConfig(
+        n_modalities=M, latent_dim=LATENT, K=10,
+        input_dims={f"m{i}": X for i in range(M)},
+        decoders_dist={f"m{i}": "laplace" for i in range(M)},
+    ), seed=0)
+    info = StepInfo.create(epoch=1)
+    key = jax.random.key(0)
+
+    @jax.jit
+    def grad_step(params, batch, rng):
+        return jax.value_and_grad(lambda p: model.loss_function(
+            _to_bf16(p), _to_bf16(batch), rng, info).loss)(params)
+
+    v, _ = grad_step(model.params, batch, key)
+    float(v)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        v, g = grad_step(model.params, batch, key)
+    float(v)
+    return (time.perf_counter() - t0) / n_steps
+
+
 def main():
     jax_sps = bench_jax()
     torch_sps = bench_torch_reference_style()
     nll_jax_s = bench_nll_jax()
     nll_torch_s = bench_nll_torch()
+    mmvae_ms = bench_mmvae_bf16() * 1000
     print(json.dumps({
         "metric": "mvtcae_train_steps_per_sec",
         "value": round(jax_sps, 3),
@@ -264,6 +302,7 @@ def main():
         "vs_baseline": round(jax_sps / torch_sps, 3),
         "nll_k1000_512pts_seconds": round(nll_jax_s, 3),
         "nll_k1000_vs_torch_cpu": round(nll_torch_s / nll_jax_s, 2),
+        "mmvae_dreg_bf16_step_ms": round(mmvae_ms, 2),
     }))
 
 
