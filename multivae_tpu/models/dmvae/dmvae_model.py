@@ -244,7 +244,7 @@ class DMVAE(BaseMultiVAE):
                 axis=-1,
             )
             lqz = jnp.sum(
-                gaussian_log_prob(z, joint_mu[None], joint_lv[None]), axis=-1
+                gaussian_log_prob(z, joint_mu[None], joint_lv[None]), axis=-1, dtype=jnp.float32
             )
             mod_rngs = jax.random.split(rng, len(self.encoders))
             for i, m in enumerate(self.decoders):
@@ -258,10 +258,10 @@ class DMVAE(BaseMultiVAE):
                 )
                 lpz = lpz + jnp.sum(
                     gaussian_log_prob(z_p, jnp.zeros_like(z_p),
-                                      jnp.zeros_like(z_p)), axis=-1,
+                                      jnp.zeros_like(z_p)), axis=-1, dtype=jnp.float32,
                 )
                 lqz = lqz + jnp.sum(
-                    gaussian_log_prob(z_p, mu_p[None], lv_p[None]), axis=-1
+                    gaussian_log_prob(z_p, mu_p[None], lv_p[None]), axis=-1, dtype=jnp.float32
                 )
             return lpx_z + lpz - lqz
 

@@ -219,7 +219,7 @@ class MoPoE(BaseMultiVAE):
         # joint divergence: weighted sum over subsets of standard-normal KLs
         klds = -0.5 * jnp.sum(
             1.0 - jnp.exp(latents["logvars"]) - latents["mus"] ** 2
-            + latents["logvars"], axis=-1,
+            + latents["logvars"], axis=-1, dtype=jnp.float32,
         )  # (S, B)
         group_div = ((latents["weights"] * klds).sum(0) * w).sum() / n_data
 
@@ -249,7 +249,7 @@ class MoPoE(BaseMultiVAE):
 
             if self._multilatent:
                 style_kld = -0.5 * jnp.sum(
-                    1.0 - jnp.exp(style_lv) - style_mu**2 + style_lv, axis=-1
+                    1.0 - jnp.exp(style_lv) - style_mu**2 + style_lv, axis=-1, dtype=jnp.float32
                 )
                 style_kld = (style_kld * batch.masks[m] * w).sum() / n_data
                 kld = kld + style_kld * self.beta_style
@@ -331,10 +331,10 @@ class MoPoE(BaseMultiVAE):
             private_z[m] = z_s
             lpz = lpz + jnp.sum(
                 gaussian_log_prob(z_s, jnp.zeros_like(z_s),
-                                  jnp.zeros_like(z_s)), axis=-1,
+                                  jnp.zeros_like(z_s)), axis=-1, dtype=jnp.float32,
             )
             lqz = lqz + jnp.sum(
-                gaussian_log_prob(z_s, mu_s[None], lv_s[None]), axis=-1
+                gaussian_log_prob(z_s, mu_s[None], lv_s[None]), axis=-1, dtype=jnp.float32
             )
         return private_z, lpz, lqz
 
@@ -376,7 +376,7 @@ class MoPoE(BaseMultiVAE):
             lqz_per_subset = jnp.sum(
                 gaussian_log_prob(
                     z[None], mus_sub[:, None], lvs_sub[:, None]
-                ), axis=-1,
+                ), axis=-1, dtype=jnp.float32,
             )  # (S, chunk, B)
             lqz = (
                 jax.nn.logsumexp(lqz_per_subset, axis=0) - jnp.log(float(S))
@@ -435,7 +435,7 @@ class MoPoE(BaseMultiVAE):
                 axis=-1,
             ) + lpz_priv
             lqz = jnp.sum(
-                gaussian_log_prob(z, jmu[None], jlv[None]), axis=-1
+                gaussian_log_prob(z, jmu[None], jlv[None]), axis=-1, dtype=jnp.float32
             ) + lqz_priv
             return lpx_z + lpz - lqz
 

@@ -107,7 +107,7 @@ class MVAE(BaseMultiVAE):
             recon_total = recon_total + (rec_m * w).sum()
 
         kld_per_sample = -0.5 * jnp.sum(
-            1.0 + sub_lv - sub_mu**2 - jnp.exp(sub_lv), axis=-1
+            1.0 + sub_lv - sub_mu**2 - jnp.exp(sub_lv), axis=-1, dtype=jnp.float32
         )
         kld = (kld_per_sample * w).sum()
         elbo = (recon_total + beta * kld) / n_eff

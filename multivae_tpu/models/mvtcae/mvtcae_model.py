@@ -58,7 +58,7 @@ class MVTCAE(BaseMultiVAE):
 
         # KL(joint || N(0, I)), summed over batch+dim
         joint_kld_per_sample = -0.5 * jnp.sum(
-            1.0 - jnp.exp(joint_log_var) - joint_mu**2 + joint_log_var, axis=-1
+            1.0 - jnp.exp(joint_log_var) - joint_mu**2 + joint_log_var, axis=-1, dtype=jnp.float32
         )
         joint_kld = jnp.sum(joint_kld_per_sample * w)
 

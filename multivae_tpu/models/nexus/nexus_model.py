@@ -254,7 +254,7 @@ class Nexus(BaseMultiVAE):
                 -self.recon_log_probs[m](recon, batch.data[m])
                 * self.rescale_factors[m]
             )
-            kld = -0.5 * jnp.sum(1.0 + lv - mu**2 - jnp.exp(lv), axis=-1)
+            kld = -0.5 * jnp.sum(1.0 + lv - mu**2 - jnp.exp(lv), axis=-1, dtype=jnp.float32)
             m_elbo = nlogprob + kld * self.bottom_betas[m] * annealing
 
             z_detached = jax.lax.stop_gradient(z_m)
@@ -335,7 +335,7 @@ class Nexus(BaseMultiVAE):
             metrics["recon_z_" + m] = z_m_loss.mean()
 
         joint_kld = -0.5 * jnp.sum(
-            1.0 + j_lv - j_mu**2 - jnp.exp(j_lv), axis=-1
+            1.0 + j_lv - j_mu**2 - jnp.exp(j_lv), axis=-1, dtype=jnp.float32
         )
         top_loss = z_recon_loss + self.model_config.top_beta * joint_kld \
             * annealing
