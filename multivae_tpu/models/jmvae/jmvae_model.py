@@ -57,7 +57,8 @@ class JMVAE(BaseJointModel):
             recon_loss = recon_loss + (rec * w).sum()
 
         kld = -0.5 * jnp.sum(
-            (1.0 + log_var - mu**2 - jnp.exp(log_var)).sum(-1) * w
+            (1.0 + log_var - mu**2 - jnp.exp(log_var)).sum(
+                -1, dtype=jnp.float32) * w
         ) * self.beta
 
         ljm = 0.0
@@ -69,7 +70,7 @@ class JMVAE(BaseJointModel):
                 + (jnp.exp(log_var) + (mu - uni_mu) ** 2) / jnp.exp(uni_lv)
                 - 1.0
             )
-            ljm = ljm + (term.sum(-1) * w).sum()
+            ljm = ljm + (term.sum(-1, dtype=jnp.float32) * w).sum()
         ljm = ljm * self.alpha
 
         reg_loss = kld + ljm

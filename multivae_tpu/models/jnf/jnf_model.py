@@ -128,7 +128,8 @@ class JNF(BaseJointModel):
             )
             recon_loss = recon_loss + (rec * w).sum()
         kld = -0.5 * jnp.sum(
-            (1.0 + log_var - mu**2 - jnp.exp(log_var)).sum(-1) * w
+            (1.0 + log_var - mu**2 - jnp.exp(log_var)).sum(
+                -1, dtype=jnp.float32) * w
         ) * self.beta
 
         if self.current_stage == 1:
@@ -169,7 +170,7 @@ class JNF(BaseJointModel):
             z0 = flow_out["out"]
             log_q_z0 = (
                 -0.5 * (lv0 + _LOG_2PI + (z0 - mu0) ** 2 / jnp.exp(lv0))
-            ).sum(-1)
+            ).sum(-1, dtype=jnp.float32)
             ljm = ljm + (-(log_q_z0 + flow_out["log_abs_det_jac"]) * w).sum()
         return ljm
 
@@ -236,14 +237,15 @@ class JNF(BaseJointModel):
         (reference ``_compute_poe_posterior`` ``:295-341``)."""
         lnqzs = 0.0
         if divide_prior:
-            lnqzs = lnqzs + (0.5 * (z**2 + _LOG_2PI)).sum(-1)
+            lnqzs = lnqzs + (0.5 * (z**2 + _LOG_2PI)).sum(
+                -1, dtype=jnp.float32)
         for m in subset:
             flow_out = self.apply_flow(params, m, z)
             z0 = flow_out["out"]
             mu, lv = enc_params[m]
             log_q_z0 = (
                 -0.5 * (lv + _LOG_2PI + (z0 - mu) ** 2 / jnp.exp(lv))
-            ).sum(-1)
+            ).sum(-1, dtype=jnp.float32)
             lnqzs = lnqzs + log_q_z0 + flow_out["log_abs_det_jac"]
         return lnqzs
 

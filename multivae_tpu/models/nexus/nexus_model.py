@@ -329,7 +329,7 @@ class Nexus(BaseMultiVAE):
                 first_level_z[m], z_m_recon,
                 jnp.broadcast_to(log_var, z_m_recon.shape),
             )
-            z_m_loss = -lp.sum(-1) * self.gammas[m]
+            z_m_loss = -lp.sum(-1, dtype=jnp.float32) * self.gammas[m]
             z_m_loss = z_m_loss * batch.masks[m]
             z_recon_loss = z_recon_loss + z_m_loss
             metrics["recon_z_" + m] = z_m_loss.mean()

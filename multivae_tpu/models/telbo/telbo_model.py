@@ -87,7 +87,8 @@ class TELBO(BaseJointModel):
                 )
                 recon_loss = recon_loss + (rec * w).sum()
             kld = -0.5 * jnp.sum(
-                (1.0 + log_var - mu**2 - jnp.exp(log_var)).sum(-1) * w
+                (1.0 + log_var - mu**2 - jnp.exp(log_var)).sum(
+                    -1, dtype=jnp.float32) * w
             )
             loss_sum = recon_loss + kld
             return ModelOutput(
@@ -119,7 +120,8 @@ class TELBO(BaseJointModel):
             )
             # reference quirk: uses the JOINT log_var in the first summand
             mod_kld = -0.5 * jnp.sum(
-                (1.0 + log_var - mod_mu**2 - jnp.exp(mod_lv)).sum(-1) * w
+                (1.0 + log_var - mod_mu**2 - jnp.exp(mod_lv)).sum(
+                    -1, dtype=jnp.float32) * w
             )
             mod_elbo = (mod_rec * w).sum() + mod_kld
             metrics[mod] = mod_elbo
