@@ -466,11 +466,11 @@ class BaseMultiVAE(BaseModel):
                 )
             lpz = jnp.sum(
                 gaussian_log_prob(z, jnp.zeros_like(z), jnp.zeros_like(z)),
-                axis=-1,
+                axis=-1, dtype=jnp.float32,
             )
             lqz = jnp.sum(
                 gaussian_log_prob(z, joint_mu[None], joint_log_var[None]),
-                axis=-1,
+                axis=-1, dtype=jnp.float32,
             )
             return lpx_z + lpz - lqz
 
