@@ -22,6 +22,7 @@ from typing import Optional
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 logger = logging.getLogger(__name__)
@@ -71,6 +72,32 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def fsdp_state_sharding(state, mesh: Mesh, min_size: int = 1024):
+    """ZeRO-style sharding spec for a train-state pytree.
+
+    Any float leaf whose leading axis divides the mesh is sharded on that
+    axis (parameters AND their mirrored optimizer moments, which share
+    shapes); everything else — scalars, small vectors, rng keys — is
+    replicated. XLA inserts the all-gathers at use sites and
+    reduce-scatters the matching gradients: the compiler does what
+    DeepSpeed/FSDP do by hand (scaling-book recipe; the reference has
+    only DDP, ``base_trainer.py:117-118``, so this is a TPU-native
+    extension, not a parity item).
+    """
+    n = mesh.size
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        if (len(shape) >= 1 and shape[0] % n == 0
+                and int(np.prod(shape)) >= min_size
+                and jnp.issubdtype(
+                    getattr(x, "dtype", jnp.float32), jnp.floating)):
+            return NamedSharding(mesh, P(DATA_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, state)
 
 
 def shard_batch(batch, mesh: Mesh):

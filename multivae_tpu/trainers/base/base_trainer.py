@@ -274,11 +274,28 @@ class BaseTrainer:
                 "metrics": out.get("metrics", {}),
             }
 
+        state_sh = self._state_sharding(rep)
         self._train_step_fn = jax.jit(
             step_fn, donate_argnums=(0,),
-            in_shardings=(rep, bsh, rep), out_shardings=(rep, rep),
+            in_shardings=(state_sh, bsh, rep),
+            out_shardings=(state_sh, rep),
         )
         return self._train_step_fn
+
+    def _state_sharding(self, rep):
+        """TrainState sharding: replicated, or ZeRO-style when fsdp."""
+        if not self.training_config.fsdp:
+            return rep
+        from ...parallel.mesh import fsdp_state_sharding
+
+        return fsdp_state_sharding(self.state, self.mesh)
+
+    def _params_sharding(self, rep):
+        if not self.training_config.fsdp:
+            return rep
+        from ...parallel.mesh import fsdp_state_sharding
+
+        return fsdp_state_sharding(self.state.params, self.mesh)
 
     def _compiled_eval_step(self):
         if self._eval_step_fn is not None:
@@ -296,7 +313,9 @@ class BaseTrainer:
                     "metrics": out.get("metrics", {})}
 
         self._eval_step_fn = jax.jit(
-            eval_fn, in_shardings=(rep, bsh, rep, rep), out_shardings=rep,
+            eval_fn,
+            in_shardings=(self._params_sharding(rep), bsh, rep, rep),
+            out_shardings=rep,
         )
         return self._eval_step_fn
 

@@ -45,6 +45,9 @@ class BaseTrainerConfig(BaseConfig):
         seed: global RNG seed.
         drop_last: drop the final partial batch instead of padding it.
         n_devices: number of local devices to use (None = all).
+        fsdp: shard parameters and optimizer state over the data mesh
+            (ZeRO-style; XLA inserts gathers/reduce-scatters). TPU-native
+            extension beyond the reference's DDP.
         mixed_precision: run the compiled loss in bfloat16 (fp32 master
             weights and optimizer state; grads are cast back to fp32).
             TPU-native speed/memory option, off by default.
@@ -68,6 +71,7 @@ class BaseTrainerConfig(BaseConfig):
     drop_last: bool = False
     n_devices: Union[int, None] = None
     mixed_precision: bool = False
+    fsdp: bool = False
     coordinator_address: Union[str, None] = None
     num_processes: Union[int, None] = None
     process_id: Union[int, None] = None

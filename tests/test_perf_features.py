@@ -149,3 +149,44 @@ def test_bf16_loss_accumulation_moe():
         _to_bf16(p), _to_bf16(batch), key, step).loss)(model.params)
     leaf = jax.tree_util.tree_leaves(g)[0]
     assert np.isfinite(np.asarray(leaf, dtype=np.float32)).all()
+
+
+def test_fsdp_matches_replicated(tmp_path):
+    """ZeRO-style param sharding must not change the math, and large
+    square kernels must actually be sharded over the mesh."""
+    import jax
+
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import MVTCAE, MVTCAEConfig
+    from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
+
+    rng = np.random.default_rng(0)
+    ds = MultimodalBaseDataset({
+        "a": rng.normal(size=(32, 8)).astype(np.float32),
+        "b": rng.normal(size=(32, 12)).astype(np.float32)})
+    cfg_model = MVTCAEConfig(n_modalities=2, latent_dim=16,
+                             input_dims={"a": (8,), "b": (12,)})
+
+    def run(fsdp):
+        model = MVTCAE(cfg_model, seed=3)
+        cfg = BaseTrainerConfig(
+            output_dir=str(tmp_path / f"fsdp_{fsdp}"), num_epochs=1,
+            per_device_train_batch_size=4, learning_rate=1e-3,
+            n_devices=8, seed=7, fsdp=fsdp,
+        )
+        tr = BaseTrainer(model, ds, training_config=cfg)
+        l1, _ = tr.train_step(1)
+        l2, _ = tr.train_step(2)
+        return l2, tr
+
+    l_rep, _ = run(False)
+    l_fsdp, tr = run(True)
+    assert l_fsdp == pytest.approx(l_rep, rel=2e-4)
+
+    # the 512x512 hidden kernel must be sharded across the 8 devices
+    leaves = jax.tree_util.tree_leaves_with_path(tr.state.params)
+    big = [(p, x) for p, x in leaves
+           if getattr(x, "ndim", 0) == 2 and x.shape[0] % 8 == 0
+           and x.size >= 1024]
+    assert big, "expected at least one shardable kernel"
+    assert any(not x.sharding.is_fully_replicated for _, x in big)
