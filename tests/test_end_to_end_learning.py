@@ -111,3 +111,44 @@ def test_mmvae_learns_cross_modal_structure(tmp_path):
     assert acc_a > 0.8, f"cross coherence a->b too low: {acc_a}"
     _, acc_b = ev.coherence_from_subset(["b"])
     assert acc_b > 0.8, f"cross coherence b->a too low: {acc_b}"
+
+
+@pytest.mark.slow
+def test_learning_from_partial_data(tmp_path):
+    """The flagship incomplete-data claim: with 40% of modality 'b'
+    missing (masked, zero-precision experts), MVTCAE must still learn
+    cross-modal structure well above chance."""
+    import numpy as np
+
+    from multivae_tpu.data import IncompleteDataset
+
+    train, ca, cb = make_structured_dataset(600, seed=0)
+    test, _, _ = make_structured_dataset(120, seed=1)
+
+    rng = np.random.default_rng(3)
+    masks = {"a": np.ones(600, dtype=bool),
+             "b": rng.uniform(size=600) > 0.4}
+    train_inc = IncompleteDataset(data=train.data, masks=masks,
+                                  labels=train.labels)
+
+    model = MVTCAE(MVTCAEConfig(
+        n_modalities=2, latent_dim=8,
+        input_dims={"a": (8,), "b": (12,)}, beta=0.5,
+        decoders_dist={"a": "normal", "b": "normal"},
+        decoder_dist_params={"a": {"scale": 0.05}, "b": {"scale": 0.05}},
+    ), seed=0)
+    cfg = BaseTrainerConfig(
+        output_dir=str(tmp_path), num_epochs=30,
+        per_device_train_batch_size=100, learning_rate=2e-3, n_devices=1,
+    )
+    BaseTrainer(model, train_inc, training_config=cfg).train()
+
+    clfs = {"a": nearest_center_classifier(ca),
+            "b": nearest_center_classifier(cb)}
+    ev = CoherenceEvaluator(
+        model, clfs, test,
+        eval_config=CoherenceEvaluatorConfig(
+            batch_size=120, num_classes=N_CLASSES, nb_samples_for_joint=100),
+    )
+    _, acc = ev.coherence_from_subset(["a"])
+    assert acc > 0.8, f"cross coherence a->b with missing data: {acc}"
