@@ -289,12 +289,49 @@ def bench_mmvae_bf16(n_steps=15):
     return (time.perf_counter() - t0) / n_steps
 
 
+def bench_mopoe(n_steps=15):
+    """MoPoE step over all 2^5-1 = 31 modality subsets (the reference's
+    per-subset Python loop becomes one subset-mask einsum, SURVEY §7.1)."""
+    import jax
+
+    from multivae_tpu.data.batch import batch_from_arrays
+    from multivae_tpu.models import MoPoE, MoPoEConfig
+    from multivae_tpu.models.base.step import StepInfo
+
+    M, X = 5, (3, 28, 28)
+    rng = np.random.default_rng(0)
+    data = {f"m{i}": rng.random((BATCH, *X), dtype=np.float32)
+            for i in range(M)}
+    batch = batch_from_arrays(data=data)
+    model = MoPoE(MoPoEConfig(
+        n_modalities=M, latent_dim=LATENT,
+        input_dims={f"m{i}": X for i in range(M)},
+        decoders_dist={f"m{i}": "laplace" for i in range(M)},
+    ), seed=0)
+    info = StepInfo.create(epoch=1)
+    key = jax.random.key(0)
+
+    @jax.jit
+    def grad_step(params, batch, rng):
+        return jax.value_and_grad(lambda p: model.loss_function(
+            p, batch, rng, info).loss)(params)
+
+    v, _ = grad_step(model.params, batch, key)
+    float(v)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        v, g = grad_step(model.params, batch, key)
+    float(v)
+    return (time.perf_counter() - t0) / n_steps
+
+
 def main():
     jax_sps = bench_jax()
     torch_sps = bench_torch_reference_style()
     nll_jax_s = bench_nll_jax()
     nll_torch_s = bench_nll_torch()
     mmvae_ms = bench_mmvae_bf16() * 1000
+    mopoe_ms = bench_mopoe() * 1000
     print(json.dumps({
         "metric": "mvtcae_train_steps_per_sec",
         "value": round(jax_sps, 3),
@@ -303,6 +340,7 @@ def main():
         "nll_k1000_512pts_seconds": round(nll_jax_s, 3),
         "nll_k1000_vs_torch_cpu": round(nll_torch_s / nll_jax_s, 2),
         "mmvae_dreg_bf16_step_ms": round(mmvae_ms, 2),
+        "mopoe_31subset_step_ms": round(mopoe_ms, 2),
     }))
 
 
