@@ -190,3 +190,27 @@ def test_fsdp_matches_replicated(tmp_path):
            and x.size >= 1024]
     assert big, "expected at least one shardable kernel"
     assert any(not x.sharding.is_fully_replicated for _, x in big)
+
+
+def test_fsdp_with_mixed_precision(tmp_path):
+    """fsdp + bf16 compose: sharded f32 master params, bf16 compute."""
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import MVTCAE, MVTCAEConfig
+    from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
+
+    rng = np.random.default_rng(0)
+    ds = MultimodalBaseDataset({
+        "a": rng.normal(size=(32, 8)).astype(np.float32),
+        "b": rng.normal(size=(32, 12)).astype(np.float32)})
+    model = MVTCAE(MVTCAEConfig(n_modalities=2, latent_dim=16,
+                                input_dims={"a": (8,), "b": (12,)}), seed=0)
+    cfg = BaseTrainerConfig(
+        output_dir=str(tmp_path), num_epochs=2,
+        per_device_train_batch_size=4, learning_rate=1e-3,
+        n_devices=8, seed=7, fsdp=True, mixed_precision=True,
+    )
+    tr = BaseTrainer(model, ds, eval_dataset=ds, training_config=cfg)
+    tr.train()
+    leaf = next(iter(
+        x for x in __import__("jax").tree_util.tree_leaves(tr.state.params)))
+    assert str(leaf.dtype) == "float32"  # master weights stay f32
