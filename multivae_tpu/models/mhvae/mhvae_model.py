@@ -20,6 +20,13 @@ import jax.numpy as jnp
 
 from ...data.batch import MultimodalBatch, as_batch
 from ...ops.gaussian import kl_divergence, masked_poe, rsample_from_gaussian
+
+
+def _sum_trailing(x):
+    """Sum all non-batch dims: intermediate latents may be conv feature
+    maps (reference mhvae example uses 1x1-conv prior/posterior blocks over
+    (C, H, W) latents, ``examples/mhvae/architectures_mmnist.py``)."""
+    return x.reshape(x.shape[0], -1).sum(-1, dtype=jnp.float32)
 from ...ops.subsets import all_subsets
 from ...utils.model_output import ModelOutput
 from ..base.base_ae_model import BaseMultiVAE, sum_except_batch
@@ -281,10 +288,10 @@ class MHVAE(BaseMultiVAE):
         rng, z_rng = jax.random.split(rng)
         z_deepest = rsample_from_gaussian(z_rng, joint_mu, joint_lv,
                                           return_mean=return_mean)
-        kl_deepest = (kl_divergence(
+        kl_deepest = (_sum_trailing(kl_divergence(
             joint_mu, joint_lv, jnp.zeros_like(joint_mu),
             jnp.zeros_like(joint_lv),
-        ) * batch.weights).sum()
+        )) * batch.weights).sum()
 
         z_dict = {f"z_{self.n_latent}": z_deepest}
         kl_dict = {f"kl_{self.n_latent}": kl_deepest}
@@ -312,10 +319,10 @@ class MHVAE(BaseMultiVAE):
             z_dict[f"z_{i}"] = rsample_from_gaussian(
                 z_rng, level_mu, level_lv, return_mean=return_mean
             )
-            kl_dict[f"kl_{i}"] = (kl_divergence(
+            kl_dict[f"kl_{i}"] = (_sum_trailing(kl_divergence(
                 level_mu, level_lv, prior_out["embedding"],
                 prior_out["log_covariance"],
-            ) * batch.weights).sum()
+            )) * batch.weights).sum()
 
         return z_dict, kl_dict
 

@@ -87,7 +87,12 @@ def masked_poe(mus, log_vars, mask=None, prior_expert: bool = False,
     """
     precision = 1.0 / (jnp.exp(log_vars) + eps)
     if mask is not None:
-        precision = precision * mask[..., None]
+        # broadcast over ALL trailing dims (latents may be conv feature
+        # maps, e.g. MHVAE's intermediate levels)
+        mask = jnp.reshape(
+            mask, mask.shape + (1,) * (precision.ndim - jnp.ndim(mask))
+        )
+        precision = precision * mask
     total_precision = jnp.sum(precision, axis=0)
     weighted_mu = jnp.sum(mus * precision, axis=0)
     if prior_expert:

@@ -195,3 +195,77 @@ def test_mhvae_trains(mhvae, tmp_path):
                             per_device_train_batch_size=8,
                             learning_rate=1e-3, n_devices=1)
     BaseTrainer(mhvae, ds, training_config=cfg).train()
+
+
+def test_mhvae_conv_latents(tmp_path):
+    """Intermediate latents as conv feature maps (reference mhvae example
+    uses 1x1-conv prior/posterior blocks over (C,H,W) latents,
+    ``examples/mhvae/architectures_mmnist.py``)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import MHVAE, MHVAEConfig
+    from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
+    from multivae_tpu.utils.model_output import ModelOutput
+
+    C, LAT = 4, 3
+    X = (1, 8, 8)
+
+    class InputEnc(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # NCHW -> NHWC feature map
+            x = jnp.transpose(x, (0, 2, 3, 1))
+            h = nn.relu(nn.Conv(C, (3, 3), strides=2)(x))  # (B,4,4,C)
+            return ModelOutput(embedding=h)
+
+    class BULast(nn.Module):
+        @nn.compact
+        def __call__(self, h):
+            h = nn.relu(nn.Dense(16)(h.reshape(h.shape[0], -1)))
+            return ModelOutput(embedding=nn.Dense(LAT)(h),
+                               log_covariance=nn.Dense(LAT)(h))
+
+    class TD(nn.Module):  # z_2 (vector) -> conv feature map
+        @nn.compact
+        def __call__(self, z):
+            h = nn.relu(nn.Dense(4 * 4 * C)(z))
+            return h.reshape(z.shape[0], 4, 4, C)
+
+    class ConvHead(nn.Module):  # feature map -> conv mu/logvar
+        @nn.compact
+        def __call__(self, h):
+            return ModelOutput(embedding=nn.Conv(C, (1, 1))(h),
+                               log_covariance=nn.Conv(C, (1, 1))(h))
+
+    class OutDec(nn.Module):  # conv z_1 -> NCHW recon
+        @nn.compact
+        def __call__(self, z):
+            h = nn.relu(nn.ConvTranspose(C, (3, 3), strides=(2, 2))(z))
+            r = nn.Conv(1, (3, 3))(h)
+            return ModelOutput(reconstruction=jnp.transpose(r, (0, 3, 1, 2)))
+
+    dims = {"m0": X, "m1": X}
+    model = MHVAE(
+        MHVAEConfig(n_modalities=2, latent_dim=LAT, input_dims=dims,
+                    n_latent=2),
+        encoders={m: InputEnc() for m in dims},
+        decoders={m: OutDec() for m in dims},
+        bottom_up_blocks={m: [BULast()] for m in dims},
+        top_down_blocks=[TD()],
+        posterior_blocks=[ConvHead()],
+        prior_blocks=[ConvHead()],
+    )
+
+    rng = np.random.default_rng(0)
+    ds = MultimodalBaseDataset(
+        {m: rng.random((16, *X), dtype=np.float32) for m in dims})
+    out = model.forward(ds[:8])
+    assert np.isfinite(float(out.loss))
+
+    cfg = BaseTrainerConfig(output_dir=str(tmp_path), num_epochs=1,
+                            per_device_train_batch_size=8,
+                            learning_rate=1e-3, n_devices=1)
+    BaseTrainer(model, ds, training_config=cfg).train()
+    pred = model.predict(ds[:4], cond_mod="m0", gen_mod="m1")
+    assert pred.m1.shape == (4, *X)
