@@ -189,11 +189,16 @@ class CUB(MultimodalBaseDataset):
                  img_transform=None, output_type: str = "one_hot",
                  download: bool = False):
         if not os.path.exists(os.path.join(path, "cub")):
-            raise AttributeError(
-                "The CUB dataset is not available at the given datapath. "
-                "Place the oxford mmdgm cub folder there (no network egress "
-                "in this environment)."
-            )
+            if download:
+                from ..download import maybe_download_cub
+
+                maybe_download_cub(path)
+            if not os.path.exists(os.path.join(path, "cub")):
+                raise AttributeError(
+                    "The CUB dataset is not available at the given "
+                    "datapath. Pass download=True or place the oxford mmdgm "
+                    "cub folder there."
+                )
         self.split = split
         self.path = path
         self.im_size = tuple(im_size)

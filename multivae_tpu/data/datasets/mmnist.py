@@ -53,12 +53,18 @@ class MMNISTDataset(MultimodalBaseDataset):
                  for i in range(5)]
         if not (os.path.exists(paths[0])
                 or os.path.exists(paths[0].replace(".pt", ".npy"))):
-            raise AttributeError(
-                "The PolyMNIST dataset is not available at the given "
-                "datapath. Download https://zenodo.org/record/4899160/files/"
-                "PolyMNIST.zip and extract it there (no network egress in "
-                "this environment)."
-            )
+            if download:
+                from ..download import maybe_download_mmnist
+
+                maybe_download_mmnist(data_path)
+            if not (os.path.exists(paths[0])
+                    or os.path.exists(paths[0].replace(".pt", ".npy"))):
+                raise AttributeError(
+                    "The PolyMNIST dataset is not available at the given "
+                    "datapath. Pass download=True or fetch "
+                    "https://zenodo.org/record/4899160/files/PolyMNIST.zip "
+                    "and extract it there."
+                )
         self.missing_ratio = missing_ratio
         self.keep_incomplete = keep_incomplete
 

@@ -309,3 +309,49 @@ def test_random_split():
     tr, ev = random_split(inc, [0.8, 0.2], seed=0)
     b = tr.get_batch(np.arange(len(tr)))
     assert "masks" in b and b["masks"]["a"].shape == (8,)
+
+
+def test_download_extract_local_zip(tmp_path, monkeypatch):
+    """The download helper extracts a (locally served) archive; the MMNIST
+    download=True path routes through it."""
+    import io
+    import zipfile
+
+    from multivae_tpu.data import download as dl
+
+    # build a fake PolyMNIST zip
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for split in ("train", "test"):
+            for i in range(5):
+                arr = np.random.rand(4, 3, 28, 28).astype(np.float32)
+                with io.BytesIO() as f:
+                    np.save(f, arr)
+                    zf.writestr(f"MMNIST/{split}/m{i}.npy", f.getvalue())
+            lab = (np.arange(4) % 10).astype(np.int64)
+            with io.BytesIO() as f:
+                np.save(f, lab)
+                zf.writestr(f"MMNIST/{split}/labels.npy", f.getvalue())
+    zip_bytes = buf.getvalue()
+
+    def fake_urlretrieve(url, dest):
+        with open(dest, "wb") as f:
+            f.write(zip_bytes)
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_urlretrieve)
+
+    from multivae_tpu.data.datasets import MMNISTDataset
+
+    ds = MMNISTDataset(data_path=str(tmp_path), split="train", download=True)
+    assert len(ds) == 4
+    assert ds[0]["data"]["m0"].shape == (3, 28, 28)
+
+    # download failure surfaces the manual URL
+    def broken(url, dest):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", broken)
+    with pytest.raises(RuntimeError, match="Download manually"):
+        dl.fetch_and_extract("http://example.com/x.zip", str(tmp_path / "y"))
