@@ -46,11 +46,31 @@ class MHD(IncompleteDataset):
         self.modalities = list(modalities)
         if missing_probabilities is None:
             missing_probabilities = {m: [0.0] * 10 for m in self.modalities}
+        _URLS = {
+            # Google-Drive-hosted files (reference ``mhd.py:150-156``)
+            "train": "https://docs.google.com/uc?export=download&"
+                     "id=1Tj1i-hXA0INQpU0jmuTMO4IwfDoGD2oV",
+            "test": "https://docs.google.com/uc?export=download&"
+                    "id=1qiEjFNCFn1ws383pKmY3zJtm4JDymOU6",
+        }
         if not os.path.exists(self.data_file):
-            raise RuntimeError(
-                f"Dataset not found at path {datapath}. Download it "
-                "manually (no network egress in this environment)."
-            )
+            if download:
+                try:
+                    import gdown
+                except ImportError as e:
+                    raise RuntimeError(
+                        "Downloading MHD requires the optional gdown "
+                        "package (`pip install gdown`), or fetch "
+                        f"{_URLS[split]} manually to {self.data_file}."
+                    ) from e
+                os.makedirs(datapath, exist_ok=True)
+                gdown.download(_URLS[split], self.data_file, quiet=False)
+            if not os.path.exists(self.data_file):
+                raise RuntimeError(
+                    f"Dataset not found at path {datapath}. Pass "
+                    f"download=True (requires gdown) or fetch "
+                    f"{_URLS[split]} manually."
+                )
         import torch
 
         (s_data, i_data, t_data, a_data, traj_norm, audio_norm) = torch.load(
