@@ -354,3 +354,90 @@ def test_one_adam_step_matches_torch(setup):
     theirs_after = float(torch_loss())
 
     assert ours_after == pytest.approx(theirs_after, rel=1e-3)
+
+
+def test_mmvae_iwae_looser_matches_torch_reference_math():
+    """MoE-family parity: the reference's iwae_looser loss
+    (``mmvae_model.py:160-292``) re-implemented in torch with the SAME
+    weights and the SAME fixed latent samples."""
+    import math
+
+    import torch
+
+    from multivae_tpu.models import MMVAE, MMVAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+    from multivae_tpu.nn import BaseAEConfig, Decoder_AE_MLP, Encoder_VAE_MLP
+
+    K = 4
+    encoders = {
+        m: Encoder_VAE_MLP(BaseAEConfig(input_dim=d, latent_dim=LATENT),
+                           hidden_dim=HID)
+        for m, d in DIMS.items()
+    }
+    decoders = {
+        m: Decoder_AE_MLP(BaseAEConfig(input_dim=d, latent_dim=LATENT),
+                          hidden_dim=HID)
+        for m, d in DIMS.items()
+    }
+    model = MMVAE(
+        MMVAEConfig(n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+                    K=K, loss="iwae_looser", learn_prior=False,
+                    prior_and_posterior_dist="laplace_with_softmax",
+                    decoders_dist={m: "laplace" for m in DIMS}),
+        encoders=encoders, decoders=decoders, seed=0,
+    )
+    rng = np.random.default_rng(0)
+    data = {m: rng.uniform(size=(8, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    ds = MultimodalBaseDataset(data)
+    batch = as_batch(ds[:])
+
+    # fixed latent samples shared by both frameworks
+    zs = {m: rng.normal(size=(K, 8, LATENT)).astype(np.float32)
+          for m in DIMS}
+
+    # ours
+    post_params = model._posterior_params(model.params, batch)
+    ours = float(model._iwae_looser(
+        model.params, batch, post_params,
+        {m: jnp.asarray(z) for m, z in zs.items()},
+    ).loss)
+
+    # torch replica (reference formulas)
+    t_enc = {m: _torch_mlp_encoder(model.params["encoders"][m],
+                                   int(np.prod(DIMS[m]))) for m in DIMS}
+    t_dec = {m: _torch_mlp_decoder(model.params["decoders"][m],
+                                   int(np.prod(DIMS[m]))) for m in DIMS}
+    x = {m: torch.tensor(data[m]) for m in DIMS}
+    tz = {m: torch.tensor(zs[m]) for m in DIMS}
+
+    def softmax_scale(lv):
+        return torch.softmax(lv, dim=-1) * lv.shape[-1] + 1e-6
+
+    qz = {}
+    for m in DIMS:
+        mu, lv = t_enc[m](x[m])
+        qz[m] = torch.distributions.Laplace(mu, softmax_scale(lv))
+    prior = torch.distributions.Laplace(
+        torch.zeros(LATENT), torch.full((LATENT,), 1.0 + 1e-6))
+
+    lws = []
+    for m in DIMS:
+        z = tz[m]
+        lpz = prior.log_prob(z).sum(-1)
+        lqz_x = torch.logsumexp(torch.stack(
+            [qz[mm].log_prob(z).sum(-1) for mm in DIMS]), dim=0
+        ) - math.log(len(DIMS))
+        lpx_z = 0
+        for rm in DIMS:
+            recon = t_dec[rm](z.reshape(-1, LATENT)).reshape(
+                K, 8, -1)
+            lp = torch.distributions.Laplace(recon, 1.0).log_prob(
+                x[rm].reshape(8, -1)).sum(-1)
+            lpx_z = lpx_z + lp
+        lws.append(lpx_z + lpz - lqz_x)
+    stacked = torch.stack(lws)                       # (M, K, B)
+    k_est = torch.logsumexp(stacked, dim=1) - math.log(K)
+    theirs = float(-(k_est.sum(0) / len(DIMS)).sum())
+
+    assert ours == pytest.approx(theirs, rel=2e-4)
