@@ -441,3 +441,125 @@ def test_mmvae_iwae_looser_matches_torch_reference_math():
     theirs = float(-(k_est.sum(0) / len(DIMS)).sum())
 
     assert ours == pytest.approx(theirs, rel=2e-4)
+
+
+def test_mmvae_dreg_gradients_match_torch_hook():
+    """DReG gradient parity: the reference scales the z cotangent with a
+    mutable backward hook (``mmvae_model.py:262-266``); ours uses the
+    scale_grad custom_vjp. Same weights + same fixed z => identical loss,
+    z-gradients and decoder gradients."""
+    import math
+
+    import torch
+
+    from multivae_tpu.models import MMVAE, MMVAEConfig
+
+    K = 4
+    from multivae_tpu.nn import BaseAEConfig, Decoder_AE_MLP, Encoder_VAE_MLP
+
+    encoders = {
+        m: Encoder_VAE_MLP(BaseAEConfig(input_dim=d, latent_dim=LATENT),
+                           hidden_dim=HID)
+        for m, d in DIMS.items()
+    }
+    decoders = {
+        m: Decoder_AE_MLP(BaseAEConfig(input_dim=d, latent_dim=LATENT),
+                          hidden_dim=HID)
+        for m, d in DIMS.items()
+    }
+    model = MMVAE(
+        MMVAEConfig(n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+                    K=K, loss="dreg_looser", learn_prior=False,
+                    prior_and_posterior_dist="laplace_with_softmax",
+                    decoders_dist={m: "laplace" for m in DIMS}),
+        encoders=encoders, decoders=decoders, seed=0,
+    )
+    rng = np.random.default_rng(1)
+    data = {m: rng.uniform(size=(8, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    ds = MultimodalBaseDataset(data)
+    batch = as_batch(ds[:])
+    zs_np = {m: rng.normal(size=(K, 8, LATENT)).astype(np.float32)
+             for m in DIMS}
+
+    # ---- ours: loss + grads w.r.t. z and decoder params
+    post_params = model._posterior_params(model.params, batch)
+
+    def our_loss(zs, params):
+        return model._dreg_looser(params, batch, post_params, zs).loss
+
+    zs_j = {m: jnp.asarray(z) for m, z in zs_np.items()}
+    ours = float(our_loss(zs_j, model.params))
+    gz = jax.grad(our_loss, argnums=0)(zs_j, model.params)
+    gdec = jax.grad(lambda p: our_loss(zs_j, p))(model.params)["decoders"]
+
+    # ---- torch replica with the reference's register_hook mechanism
+    t_enc = {m: _torch_mlp_encoder(model.params["encoders"][m],
+                                   int(np.prod(DIMS[m]))) for m in DIMS}
+
+    t_dec_mods = {}
+    import torch.nn as tnn
+
+    for m in DIMS:
+        l1 = tnn.Linear(LATENT, HID)
+        l2 = tnn.Linear(HID, int(np.prod(DIMS[m])))
+        p = model.params["decoders"][m]
+        l1.weight.data = torch.tensor(np.asarray(p["Dense_0"]["kernel"]).T)
+        l1.bias.data = torch.tensor(np.asarray(p["Dense_0"]["bias"]))
+        l2.weight.data = torch.tensor(np.asarray(p["Dense_1"]["kernel"]).T)
+        l2.bias.data = torch.tensor(np.asarray(p["Dense_1"]["bias"]))
+        t_dec_mods[m] = (l1, l2)
+
+    x = {m: torch.tensor(data[m]) for m in DIMS}
+    tz = {m: torch.tensor(zs_np[m], requires_grad=True) for m in DIMS}
+
+    def softmax_scale(lv):
+        return torch.softmax(lv, dim=-1) * lv.shape[-1] + 1e-6
+
+    qz = {}
+    for m in DIMS:
+        with torch.no_grad():  # detached posteriors (DReG)
+            mu, lv = t_enc[m](x[m])
+        qz[m] = torch.distributions.Laplace(mu, softmax_scale(lv))
+    prior = torch.distributions.Laplace(
+        torch.zeros(LATENT), torch.full((LATENT,), 1.0 + 1e-6))
+
+    lws = {}
+    for m in DIMS:
+        z = tz[m]
+        lpz = prior.log_prob(z).sum(-1)
+        lqz_x = torch.logsumexp(torch.stack(
+            [qz[mm].log_prob(z).sum(-1) for mm in DIMS]), dim=0
+        ) - math.log(len(DIMS))
+        lpx_z = 0
+        for rm in DIMS:
+            l1, l2 = t_dec_mods[rm]
+            recon = torch.sigmoid(l2(torch.relu(l1(z.reshape(-1, LATENT)))))
+            lp = torch.distributions.Laplace(
+                recon.reshape(K, 8, -1), 1.0).log_prob(
+                x[rm].reshape(8, -1)).sum(-1)
+            lpx_z = lpx_z + lp
+        lws[m] = lpx_z + lpz - lqz_x
+
+    wk = {}
+    with torch.no_grad():
+        for m, lw in lws.items():
+            wk[m] = (lw - torch.logsumexp(lw, 0, keepdim=True)).exp()
+    stacked = torch.stack([lws[m] * wk[m] for m in DIMS]).sum(1)
+    for m in DIMS:
+        tz[m].register_hook(lambda grad, w=wk[m]: w.unsqueeze(-1) * grad)
+    theirs_t = -(stacked.sum(0) / len(DIMS)).sum()
+    theirs_t.backward()
+
+    assert ours == pytest.approx(float(theirs_t), rel=2e-4)
+    for m in DIMS:
+        np.testing.assert_allclose(
+            np.asarray(gz[m]), tz[m].grad.numpy(), rtol=2e-3, atol=1e-5)
+    for m in DIMS:
+        l1, l2 = t_dec_mods[m]
+        np.testing.assert_allclose(
+            np.asarray(gdec[m]["Dense_0"]["kernel"]),
+            l1.weight.grad.numpy().T, rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(gdec[m]["Dense_1"]["kernel"]),
+            l2.weight.grad.numpy().T, rtol=2e-3, atol=1e-5)
