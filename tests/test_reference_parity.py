@@ -660,3 +660,84 @@ def test_cmvae_k_lws_matches_torch_reference_math():
     for m in mods:
         np.testing.assert_allclose(
             np.asarray(lws[m]), lws_t[m].numpy(), rtol=3e-4, atol=3e-3)
+
+
+def test_mopoe_subset_poe_matches_torch_loops():
+    """MoPoE subset machinery parity: our (S, M) mask-matrix einsum vs the
+    reference's per-subset Python loops + poe (``mopoe_model.py:249-320``),
+    and the developed joint divergence (``:108-146``)."""
+    import itertools
+
+    import torch
+
+    from multivae_tpu.data.batch import MultimodalBatch
+    from multivae_tpu.models import MoPoE, MoPoEConfig
+
+    mods3 = {"a": (3,), "b": (4,), "c": (5,)}
+    model = MoPoE(MoPoEConfig(n_modalities=3, latent_dim=LATENT,
+                              input_dims=mods3), seed=0)
+    rng = np.random.default_rng(3)
+    B = 8
+    data = {m: rng.uniform(size=(B, *d)).astype(np.float32)
+            for m, d in mods3.items()}
+    batch = MultimodalBatch(
+        data={m: jnp.asarray(v) for m, v in data.items()},
+        masks={m: jnp.ones((B,)) for m in mods3},
+        weights=jnp.ones((B,)), labels=None, incomplete=False,
+    )
+    mus_sub, lvs_sub, enc = model._all_subset_posteriors(model.params, batch)
+
+    # torch replica over explicit subsets, in the same enumeration order
+    mod_list = list(mods3)
+    subsets = []
+    for n in range(1, len(mod_list) + 1):
+        subsets += [list(c) for c in itertools.combinations(mod_list, n)]
+    # align with the model's own subset ordering
+    assert len(subsets) == mus_sub.shape[0]
+
+    mu_t = {m: torch.tensor(np.asarray(enc[m]["embedding"]))
+            for m in mod_list}
+    lv_t = {m: torch.tensor(np.asarray(enc[m]["log_covariance"]))
+            for m in mod_list}
+    eps = 1e-8
+
+    def torch_poe(mus, logvars):
+        var = torch.exp(logvars) + eps
+        T = 1.0 / var
+        joint_mu = (mus * T).sum(0) / T.sum(0)
+        joint_lv = torch.log(1.0 / T.sum(0))
+        return joint_mu, joint_lv
+
+    order = [list(s) for s in model.subsets.values()]
+    for i, subset in enumerate(order):
+        mus = torch.stack([mu_t[m] for m in subset])
+        lvs = torch.stack([lv_t[m] for m in subset])
+        if len(subset) == len(mod_list):  # prior expert for the full set
+            mus = torch.cat([mus, torch.zeros(1, B, LATENT)], dim=0)
+            lvs = torch.cat([lvs, torch.zeros(1, B, LATENT)], dim=0)
+        jm, jl = torch_poe(mus, lvs)
+        np.testing.assert_allclose(np.asarray(mus_sub[i]), jm.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lvs_sub[i]), jl.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+
+    # developed joint divergence with uniform weights
+    S = mus_sub.shape[0]
+    weights = torch.full((S, B), 1.0 / S)
+    klds = torch.stack([
+        -0.5 * (1 - torch.tensor(np.asarray(lvs_sub[k])).exp()
+                - torch.tensor(np.asarray(mus_sub[k])).pow(2)
+                + torch.tensor(np.asarray(lvs_sub[k]))).sum(-1)
+        for k in range(S)
+    ])
+    group_div_t = float((weights * klds).sum(dim=0).mean())
+
+    import jax.numpy as jnp2
+
+    w = jnp2.full((S, B), 1.0 / S)
+    klds_j = -0.5 * jnp2.sum(
+        1.0 - jnp2.exp(lvs_sub) - mus_sub**2 + lvs_sub, axis=-1,
+        dtype=jnp2.float32)
+    group_div_ours = float(((w * klds_j).sum(0) * batch.weights).sum()
+                           / B)
+    assert group_div_ours == pytest.approx(group_div_t, rel=1e-5)
