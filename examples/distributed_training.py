@@ -15,6 +15,10 @@ JAX_NUM_PROCESSES, JAX_PROCESS_ID) or TPU-pod auto-detection.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
 
 from multivae_tpu.data.datasets import MMNISTDataset
 from multivae_tpu.models import MoPoE, MoPoEConfig

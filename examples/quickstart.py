@@ -9,6 +9,12 @@ network egress in some environments; see
 multivae_tpu/data/datasets/mnist_svhn.py).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
 from multivae_tpu.data.datasets import MnistSvhn
 from multivae_tpu.models import MVTCAE, AutoModel, MVTCAEConfig
 from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
