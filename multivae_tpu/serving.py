@@ -74,6 +74,40 @@ class Predictor:
             modalities_z=enc.get("modalities_z"),
         )
 
+    def export(self, path: str) -> str:
+        """Serialize the compiled program (StableHLO via ``jax.export``) so
+        a serving process can run it without the model's Python code::
+
+            pred.export("endpoint.bin")
+            ...
+            call = Predictor.load_exported("endpoint.bin")
+            out = call(params, {"m0": x}, jax.random.key(0))
+
+        The artifact bakes in the platform (cpu/tpu) and the fixed shapes.
+        """
+        from jax import export as jexport
+
+        dummy = {
+            m: jnp.zeros((self.batch_size,
+                          *self.model.model_config.input_dims[m]),
+                         jnp.float32)
+            for m in self.cond_mod
+        }
+        exp = jexport.export(self._call)(
+            self.model.params, dummy, jax.random.key(0))
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        return path
+
+    @staticmethod
+    def load_exported(path: str):
+        """Load a serialized endpoint; returns ``fn(params, data, rng)``."""
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            exp = jexport.deserialize(f.read())
+        return exp.call
+
     def warmup(self):
         """Compile now instead of on the first request."""
         dummy = {

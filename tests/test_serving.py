@@ -56,3 +56,23 @@ def test_predictor_multilatent():
     out = pred(x)
     for m in DIMS:
         assert out[m].shape == (3, *DIMS[m])
+
+
+def test_predictor_export_roundtrip(model, tmp_path):
+    """jax.export serialization: the deserialized program reproduces the
+    live predictor bit-for-bit on the same inputs."""
+    import jax
+    import numpy as np
+
+    pred = Predictor(model, cond_mod=["mod1"], gen_mod=["mod2"],
+                     batch_size=4, deterministic=True)
+    path = pred.export(str(tmp_path / "endpoint.bin"))
+
+    call = Predictor.load_exported(path)
+    x = {"mod1": np.random.default_rng(0).random(
+        (4, *DIMS["mod1"]), dtype=np.float32)}
+    rng = jax.random.key(0)
+    live = pred._call(model.params, x, rng)
+    loaded = call(model.params, x, rng)
+    np.testing.assert_array_equal(np.asarray(live["mod2"]),
+                                  np.asarray(loaded["mod2"]))
