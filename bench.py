@@ -307,6 +307,63 @@ def bench_mmvae_bf16(n_steps=15):
     return (time.perf_counter() - t0) / (n_steps * N_INNER)
 
 
+def bench_mvtcae_conv(n_steps=10):
+    """The REAL case-study workload: MVTCAE with the PolyMNIST ConvNets
+    (5 modalities, latent 512, batch 256, laplace scale 0.75 — the exact
+    benchmark protocol of examples/case_studies/partial_polymnist)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multivae_tpu.data.batch import batch_from_arrays
+    from multivae_tpu.models import MVTCAE, MVTCAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+    from multivae_tpu.nn import BaseAEConfig
+    from multivae_tpu.nn.mmnist import (
+        DecoderConvMMNIST,
+        EncoderConvMMNIST_adapted,
+    )
+
+    M, X = 5, (3, 28, 28)
+    mods = [f"m{i}" for i in range(M)]
+    rng = np.random.default_rng(0)
+    batch = batch_from_arrays(data={
+        m: rng.random((BATCH, *X), dtype=np.float32) for m in mods})
+    enc = {m: EncoderConvMMNIST_adapted(BaseAEConfig(
+        latent_dim=LATENT, style_dim=0, input_dim=X)) for m in mods}
+    dec = {m: DecoderConvMMNIST(BaseAEConfig(
+        latent_dim=LATENT, input_dim=X)) for m in mods}
+    model = MVTCAE(MVTCAEConfig(
+        n_modalities=M, latent_dim=LATENT, input_dims={m: X for m in mods},
+        decoders_dist={m: "laplace" for m in mods},
+        decoder_dist_params={m: {"scale": 0.75} for m in mods},
+        beta=2.5, alpha=5.0 / 6.0), encoders=enc, decoders=dec, seed=0)
+    info = StepInfo.create(epoch=1)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(model.params)
+
+    @jax.jit
+    def multi(params, opt_state, batch, rng):
+        def body(c, i):
+            params, opt_state = c
+            r = jax.random.fold_in(rng, i)
+            l, g = jax.value_and_grad(lambda p: model.loss_function(
+                p, batch, r, info).loss)(params)
+            u, opt_state = opt.update(g, opt_state, params)
+            return (optax.apply_updates(params, u), opt_state), l
+        (params, opt_state), ls = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(10))
+        return params, opt_state, ls
+
+    p, o, ls = multi(model.params, opt_state, batch, jax.random.key(0))
+    float(ls[-1])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        p, o, ls = multi(p, o, batch, jax.random.key(1))
+    float(ls[-1])
+    return (time.perf_counter() - t0) / (n_steps * 10)
+
+
 def bench_mopoe(n_steps=15):
     """MoPoE step over all 2^5-1 = 31 modality subsets (the reference's
     per-subset Python loop becomes one subset-mask einsum, SURVEY §7.1)."""
@@ -350,6 +407,7 @@ def main():
     nll_torch_s = bench_nll_torch()
     mmvae_ms = bench_mmvae_bf16() * 1000
     mopoe_ms = bench_mopoe() * 1000
+    conv_ms = bench_mvtcae_conv() * 1000
     print(json.dumps({
         "metric": "mvtcae_train_steps_per_sec",
         "value": round(jax_sps, 3),
@@ -359,6 +417,7 @@ def main():
         "nll_k1000_vs_torch_cpu": round(nll_torch_s / nll_jax_s, 2),
         "mmvae_dreg_bf16_step_ms": round(mmvae_ms, 2),
         "mopoe_31subset_step_ms": round(mopoe_ms, 2),
+        "mvtcae_polymnist_conv_step_ms": round(conv_ms, 2),
     }))
 
 
