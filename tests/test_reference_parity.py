@@ -741,3 +741,88 @@ def test_mopoe_subset_poe_matches_torch_loops():
     group_div_ours = float(((w * klds_j).sum(0) * batch.weights).sum()
                            / B)
     assert group_div_ours == pytest.approx(group_div_t, rel=1e-5)
+
+
+def test_mvae_incomplete_loss_matches_torch_filtering(monkeypatch):
+    """MVAE incomplete-data parity: our weighted masked means must equal
+    the reference's row-FILTERING semantics (``mvae_model.py:115-204``)
+    with inf-logvar experts in stable_poe. Deterministic via mean-z."""
+    import torch
+
+    import multivae_tpu.models.mvae.mvae_model as mvae_mod
+    from multivae_tpu.data import IncompleteDataset
+    from multivae_tpu.models import MVAE, MVAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+
+    # deterministic: z = posterior mean on our side, mu on the torch side
+    monkeypatch.setattr(
+        mvae_mod, "rsample_from_gaussian",
+        lambda rng, mu, lv, **kw: mu,
+    )
+
+    model = MVAE(MVAEConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        warmup=0, beta=1.0, use_subsampling=True, k=0,
+        decoders_dist={m: "laplace" for m in DIMS},
+    ), seed=0)
+    rng = np.random.default_rng(4)
+    B = 8
+    data = {m: rng.uniform(size=(B, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    masks = {"m0": np.array([1, 1, 1, 0, 1, 0, 1, 1], bool),
+             "m1": np.array([1, 0, 1, 1, 0, 0, 1, 1], bool)}
+    # reference convention: missing entries zero-filled
+    for m in DIMS:
+        data[m] = data[m] * masks[m][:, None].astype(np.float32)
+    ds = IncompleteDataset(data=data, masks=masks)
+    batch = as_batch(ds[:])
+
+    ours = float(model.loss_function(
+        model.params, batch, jax.random.key(0), StepInfo.create(epoch=1)
+    ).loss)
+
+    # ---- torch replica of the reference forward
+    t_enc = {m: _torch_mlp_encoder(model.params["encoders"][m],
+                                   int(np.prod(DIMS[m]))) for m in DIMS}
+    t_dec = {m: _torch_mlp_decoder(model.params["decoders"][m],
+                                   int(np.prod(DIMS[m]))) for m in DIMS}
+    x = {m: torch.tensor(data[m]) for m in DIMS}
+    tm = {m: torch.tensor(masks[m]) for m in DIMS}
+
+    def stable_poe_t(mus, logvars):
+        ln_inv = torch.stack([-l for l in logvars])
+        ln_var = -torch.logsumexp(ln_inv, dim=0)
+        mu = (torch.exp(ln_inv) * torch.stack(mus)).sum(0) * torch.exp(
+            ln_var)
+        return mu, ln_var
+
+    def elbo_subset(subset):
+        # filter rows available in ANY subset modality
+        filt = torch.zeros(B, dtype=torch.bool)
+        for m in subset:
+            filt = filt | tm[m]
+        xs = {m: x[m][filt] for m in subset}
+        ms = {m: tm[m][filt] for m in subset}
+        mus, lvs = [], []
+        for m in subset:
+            mu, lv = t_enc[m](xs[m])
+            lv = lv.clone()
+            lv[~ms[m]] = torch.inf
+            mus.append(mu)
+            lvs.append(lv)
+        mus.append(torch.zeros_like(mus[0]))
+        lvs.append(torch.zeros_like(lvs[0]))
+        sub_mu, sub_lv = stable_poe_t(mus, lvs)
+        z = sub_mu  # deterministic
+        elbo = 0.0
+        for m in subset:
+            recon = t_dec[m](z)
+            rec = -torch.distributions.Laplace(recon, 1.0).log_prob(
+                xs[m].reshape(len(z), -1)).sum(-1)
+            elbo = elbo + (rec * ms[m].float()).sum()
+        kld = -0.5 * torch.sum(1 + sub_lv - sub_mu.pow(2) - sub_lv.exp())
+        return float((elbo + kld) / len(z))
+
+    theirs = (elbo_subset(list(DIMS)) + elbo_subset(["m0"])
+              + elbo_subset(["m1"]))
+    assert ours == pytest.approx(theirs, rel=3e-4)
