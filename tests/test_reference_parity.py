@@ -826,3 +826,114 @@ def test_mvae_incomplete_loss_matches_torch_filtering(monkeypatch):
     theirs = (elbo_subset(list(DIMS)) + elbo_subset(["m0"])
               + elbo_subset(["m1"]))
     assert ours == pytest.approx(theirs, rel=3e-4)
+
+
+def test_dmvae_loss_matches_torch_reference_math(monkeypatch):
+    """DMVAE cross-ELBO parity (``dmvae_model.py:94-231``): joint PoE +
+    per-modality shared-posterior ELBOs, private KLs/betas, incomplete
+    masks — deterministic via mean-z."""
+    import torch
+
+    import multivae_tpu.models.dmvae.dmvae_model as dmvae_mod
+    from multivae_tpu.data import IncompleteDataset
+    from multivae_tpu.models import DMVAE, DMVAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+
+    monkeypatch.setattr(dmvae_mod, "rsample_from_gaussian",
+                        lambda rng, mu, lv, **kw: mu)
+
+    STYLE = {"m0": 2, "m1": 3}
+    model = DMVAE(DMVAEConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        modalities_specific_dim=STYLE,
+        modalities_specific_betas={"m0": 1.5, "m1": 0.5}, beta=2.0,
+        decoders_dist={m: "laplace" for m in DIMS},
+    ), seed=0)
+    rng = np.random.default_rng(5)
+    B = 8
+    masks = {"m0": np.array([1, 1, 0, 1, 1, 0, 1, 1], bool),
+             "m1": np.ones(B, bool)}
+    data = {m: (rng.uniform(size=(B, *d)) * masks[m][:, None]).astype(
+        np.float32) for m, d in DIMS.items()}
+    ds = IncompleteDataset(data=data, masks=masks)
+    batch = as_batch(ds[:])
+
+    ours = float(model.loss_function(
+        model.params, batch, jax.random.key(0), StepInfo.create(epoch=1)
+    ).loss)
+
+    # ---------------- torch replica
+    x = {m: torch.tensor(data[m]) for m in DIMS}
+    tm = {m: torch.tensor(masks[m]) for m in DIMS}
+
+    # multilatent MLP encoder replica: 1 hidden, 4 heads
+    def enc(m):
+        p = model.params["encoders"][m]
+
+        def f(xx):
+            h = torch.relu(torch.tensor(np.asarray(p["Dense_0"]["kernel"])).T
+                           .matmul(xx.reshape(B, -1).T).T
+                           + torch.tensor(np.asarray(p["Dense_0"]["bias"])))
+            def head(name):
+                return (h.matmul(torch.tensor(
+                    np.asarray(p[name]["kernel"])))
+                    + torch.tensor(np.asarray(p[name]["bias"])))
+            return head("Dense_1"), head("Dense_2"), head("Dense_3"), \
+                head("Dense_4")
+        return f
+
+    def dec(m):
+        p = model.params["decoders"][m]
+
+        def f(z):
+            h = torch.relu(z.matmul(torch.tensor(
+                np.asarray(p["Dense_0"]["kernel"])))
+                + torch.tensor(np.asarray(p["Dense_0"]["bias"])))
+            out = h.matmul(torch.tensor(np.asarray(p["Dense_1"]["kernel"]))) \
+                + torch.tensor(np.asarray(p["Dense_1"]["bias"]))
+            return torch.sigmoid(out)
+        return f
+
+    shared, private, poe_lvs = {}, {}, {}
+    for m in DIMS:
+        mu, lv, smu, slv = enc(m)(x[m])
+        shared[m] = (mu, lv)          # ORIGINAL lv for the modality elbos
+        lv_poe = lv.clone()           # inf only inside the PoE (reference
+        lv_poe[~tm[m]] = torch.inf    # clones before masking, ``:131-134``)
+        poe_lvs[m] = lv_poe
+        private[m] = (smu, slv)
+
+    def stable_poe_t(mus, lvs):
+        ln_inv = torch.stack([-l for l in lvs])
+        ln_var = -torch.logsumexp(ln_inv, dim=0)
+        mu = (torch.exp(ln_inv) * torch.stack(mus)).sum(0) * torch.exp(
+            ln_var)
+        return mu, ln_var
+
+    jmu, jlv = stable_poe_t(
+        [shared[m][0] for m in DIMS] + [torch.zeros(B, LATENT)],
+        [poe_lvs[m] for m in DIMS] + [torch.zeros(B, LATENT)])
+
+    def kl_t(mu, lv):
+        return 0.5 * (-lv + lv.exp() + mu.pow(2) - 1).sum(-1)
+
+    def elbo(q_mu, q_lv):
+        z_shared = q_mu
+        recon_loss = 0
+        for m in DIMS:
+            z = torch.cat([z_shared, private[m][0]], dim=1)
+            r = dec(m)(z)
+            lp = torch.distributions.Laplace(r, 1.0).log_prob(
+                x[m].reshape(B, -1)).sum(-1)
+            recon_loss = recon_loss + lp * tm[m].float()
+        kl = kl_t(q_mu, q_lv) * 2.0
+        for m in DIMS:
+            kl = kl + kl_t(*private[m]) * tm[m].float() * (
+                1.5 if m == "m0" else 0.5)
+        return -recon_loss + kl
+
+    loss_t = elbo(jmu, jlv)
+    for m in DIMS:
+        loss_t = loss_t + elbo(*shared[m]) * tm[m].float()
+    theirs = float(loss_t.mean())
+    assert ours == pytest.approx(theirs, rel=3e-4)
