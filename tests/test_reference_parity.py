@@ -937,3 +937,83 @@ def test_dmvae_loss_matches_torch_reference_math(monkeypatch):
         loss_t = loss_t + elbo(*shared[m]) * tm[m].float()
     theirs = float(loss_t.mean())
     assert ours == pytest.approx(theirs, rel=3e-4)
+
+
+def test_crmvae_loss_matches_torch_reference_math(monkeypatch):
+    """CRMVAE parity (``crmvae_model.py:44-113``): masked PoE joint + the
+    coordination KLs + dual (joint/unimodal) reconstructions on incomplete
+    data — deterministic via mean-z."""
+    import torch
+
+    import multivae_tpu.models.crmvae.crmvae_model as crmvae_mod
+    from multivae_tpu.data import IncompleteDataset
+    from multivae_tpu.models import CRMVAE, CRMVAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+
+    monkeypatch.setattr(crmvae_mod, "rsample_from_gaussian",
+                        lambda rng, mu, lv, **kw: mu)
+
+    model = CRMVAE(CRMVAEConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS, beta=1.3,
+        decoders_dist={m: "laplace" for m in DIMS},
+    ), seed=0)
+    rng = np.random.default_rng(6)
+    B = 8
+    masks = {"m0": np.array([1, 0, 1, 1, 1, 0, 1, 1], bool),
+             "m1": np.ones(B, bool)}
+    data = {m: (rng.uniform(size=(B, *d)) * masks[m][:, None]).astype(
+        np.float32) for m, d in DIMS.items()}
+    ds = IncompleteDataset(data=data, masks=masks)
+    batch = as_batch(ds[:])
+
+    ours = float(model.loss_function(
+        model.params, batch, jax.random.key(0), StepInfo.create(epoch=1)
+    ).loss)
+
+    # ---------------- torch replica
+    t_enc = {m: _torch_mlp_encoder(model.params["encoders"][m],
+                                   int(np.prod(DIMS[m]))) for m in DIMS}
+    t_dec = {m: _torch_mlp_decoder(model.params["decoders"][m],
+                                   int(np.prod(DIMS[m]))) for m in DIMS}
+    x = {m: torch.tensor(data[m]) for m in DIMS}
+    tm = {m: torch.tensor(masks[m]) for m in DIMS}
+
+    uni = {}
+    poe_lvs = []
+    for m in DIMS:
+        mu, lv = t_enc[m](x[m])
+        uni[m] = (mu, lv)
+        lv_poe = lv.clone()
+        lv_poe[~tm[m]] = torch.inf
+        poe_lvs.append(lv_poe)
+
+    def stable_poe_t(mus, lvs):
+        ln_inv = torch.stack([-l for l in lvs])
+        ln_var = -torch.logsumexp(ln_inv, dim=0)
+        mu = (torch.exp(ln_inv) * torch.stack(mus)).sum(0) * torch.exp(
+            ln_var)
+        return mu, ln_var
+
+    jmu, jlv = stable_poe_t([uni[m][0] for m in DIMS], poe_lvs)
+
+    def kl_t(mu, lv, pm, plv):
+        return 0.5 * (plv - lv + (lv - plv).exp()
+                      + (mu - pm).pow(2) / plv.exp() - 1).sum(-1)
+
+    divergence = kl_t(jmu, jlv, torch.zeros(B, LATENT),
+                      torch.zeros(B, LATENT))
+    for m in DIMS:
+        divergence = divergence + kl_t(jmu, jlv, *uni[m]) * tm[m].float()
+
+    z_samples = {"joint": jmu, **{m: uni[m][0] for m in DIMS}}
+    loss_rec = 0
+    for gm in DIMS:
+        for src in ["joint", gm]:
+            r = t_dec[gm](z_samples[src])
+            lp = -torch.distributions.Laplace(r, 1.0).log_prob(
+                x[gm].reshape(B, -1)).sum(-1)
+            loss_rec = loss_rec + lp * tm[gm].float()
+
+    M = len(DIMS)
+    total = loss_rec / (2 * (M + 1)) + 1.3 * divergence / (M + 1)
+    assert ours == pytest.approx(float(total.sum()), rel=3e-4)
