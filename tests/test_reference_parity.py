@@ -1017,3 +1017,84 @@ def test_crmvae_loss_matches_torch_reference_math(monkeypatch):
     M = len(DIMS)
     total = loss_rec / (2 * (M + 1)) + 1.3 * divergence / (M + 1)
     assert ours == pytest.approx(float(total.sum()), rel=3e-4)
+
+
+def test_nexus_loss_assembly_matches_torch_reference_math(monkeypatch):
+    """Nexus loss-assembly parity (``nexus_model.py:80-207``): masked-mean
+    aggregation, bottom/top ELBOs, gammas, annealing — computed in torch
+    from OUR sub-network outputs (deterministic via mean-z on incomplete
+    data, where no perceptual dropout applies)."""
+    import torch
+
+    import multivae_tpu.models.nexus.nexus_model as nexus_mod
+    from multivae_tpu.data import IncompleteDataset
+    from multivae_tpu.models import Nexus, NexusConfig
+    from multivae_tpu.models.base.step import StepInfo
+
+    monkeypatch.setattr(nexus_mod, "rsample_from_gaussian",
+                        lambda rng, mu, lv, **kw: mu)
+
+    SPEC = {"m0": 3, "m1": 4}
+    GAMMAS = {"m0": 2.0, "m1": 0.5}
+    BETAS = {"m0": 1.5, "m1": 0.8}
+    model = Nexus(NexusConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        modalities_specific_dim=SPEC, msg_dim=6, warmup=2,
+        gammas=GAMMAS, bottom_betas=BETAS, top_beta=1.2,
+        decoders_dist={m: "laplace" for m in DIMS},
+    ), seed=0)
+    rng = np.random.default_rng(7)
+    B = 8
+    masks = {"m0": np.array([1, 1, 0, 1, 1, 1, 0, 1], bool),
+             "m1": np.ones(B, bool)}
+    data = {m: (rng.uniform(size=(B, *d)) * masks[m][:, None]).astype(
+        np.float32) for m, d in DIMS.items()}
+    ds = IncompleteDataset(data=data, masks=masks)
+    batch = as_batch(ds[:])
+    epoch = 5  # past warmup -> annealing = 1
+
+    ours = float(model.loss_function(
+        model.params, batch, jax.random.key(0), StepInfo.create(epoch=epoch)
+    ).loss)
+
+    # ---- torch assembly from OUR sub-network outputs
+    p = model.params
+    t = lambda a: torch.tensor(np.asarray(a, np.float32))  # noqa: E731
+    x = {m: torch.tensor(data[m]) for m in DIMS}
+    tm = {m: torch.tensor(masks[m]) for m in DIMS}
+
+    bottom_loss = 0
+    msgs, z1 = {}, {}
+    for m in DIMS:
+        out_m = model.encode_mod(p, m, batch.data[m])
+        mu, lv = t(out_m["embedding"]), t(out_m["log_covariance"])
+        z_m = mu
+        recon = t(model.decode_mod(p, m, np.asarray(z_m)))
+        nlogprob = -torch.distributions.Laplace(
+            recon.reshape(B, -1), 1.0).log_prob(
+            x[m].reshape(B, -1)).sum(-1)
+        kld = -0.5 * torch.sum(1 + lv - mu.pow(2) - lv.exp(), dim=-1)
+        m_elbo = (nlogprob + kld * BETAS[m]) * tm[m].float()
+        bottom_loss = bottom_loss + m_elbo
+        z1[m] = z_m
+        msgs[m] = t(model._apply_top_encoder(
+            p, m, np.asarray(z_m))["embedding"])
+
+    norm = (tm["m0"].float() + tm["m1"].float()).clamp(min=1.0)
+    agg = (msgs["m0"] * tm["m0"].float()[:, None]
+           + msgs["m1"] * tm["m1"].float()[:, None]) / norm[:, None]
+
+    joint = model._apply_joint_encoder(p, np.asarray(agg))
+    jmu, jlv = t(joint["embedding"]), t(joint["log_covariance"])
+    joint_z = jmu
+
+    z_recon_loss = 0
+    for m in DIMS:
+        zr = t(model._apply_top_decoder(p, m, np.asarray(joint_z)))
+        lp = torch.distributions.Normal(zr, 1.0).log_prob(z1[m]).sum(-1)
+        z_recon_loss = z_recon_loss + (-lp * GAMMAS[m]) * tm[m].float()
+
+    joint_kld = -0.5 * torch.sum(1 + jlv - jmu.pow(2) - jlv.exp(), dim=-1)
+    total = z_recon_loss + 1.2 * joint_kld + bottom_loss
+    theirs = float(total.mean())
+    assert ours == pytest.approx(theirs, rel=3e-4)
