@@ -1098,3 +1098,124 @@ def test_nexus_loss_assembly_matches_torch_reference_math(monkeypatch):
     total = z_recon_loss + 1.2 * joint_kld + bottom_loss
     theirs = float(total.mean())
     assert ours == pytest.approx(theirs, rel=3e-4)
+
+
+def test_cvae_loss_matches_torch_reference_math(monkeypatch):
+    """CVAE parity (``cvae_model.py:136-180``): conditional ELBO with a
+    learnable conditional prior, assembled in torch from OUR network
+    outputs (deterministic via mean-z)."""
+    import torch
+
+    import multivae_tpu.models.cvae.cvae_model as cvae_mod
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import CVAE, CVAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+    from multivae_tpu.nn import (
+        BaseAEConfig,
+        BaseDictEncoders,
+        MultipleHeadJointEncoder,
+    )
+
+    monkeypatch.setattr(cvae_mod, "rsample_from_gaussian",
+                        lambda rng, mu, lv, **kw: mu)
+
+    prior_net = MultipleHeadJointEncoder(
+        dict_encoders=BaseDictEncoders({"m1": DIMS["m1"]}, LATENT),
+        args=BaseAEConfig(latent_dim=LATENT),
+    )
+    model = CVAE(CVAEConfig(
+        main_modality="m0", conditioning_modalities=["m1"],
+        input_dims=DIMS, latent_dim=LATENT, beta=1.4,
+        decoder_dist="laplace",
+    ), prior_network=prior_net, seed=0)
+    rng = np.random.default_rng(8)
+    B = 8
+    data = {m: rng.uniform(size=(B, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    ds = MultimodalBaseDataset(data)
+    batch = as_batch(ds[:])
+
+    ours = float(model.loss_function(
+        model.params, batch, jax.random.key(0), StepInfo.create(epoch=1)
+    ).loss)
+
+    # torch assembly from our network outputs
+    t = lambda a: torch.tensor(np.asarray(a, np.float32))  # noqa: E731
+    p = model.params
+    enc = model._apply_encoder(p, batch.data)
+    mu, lv = t(enc["embedding"]), t(enc["log_covariance"])
+    z = mu
+    cond = {"m1": batch.data["m1"]}
+    pri = model._apply_prior(p, cond)
+    pmu, plv = t(pri["embedding"]), t(pri["log_covariance"])
+    recon = t(model._apply_decoder(p, np.asarray(z), cond)["reconstruction"])
+    x0 = torch.tensor(data["m0"])
+
+    recon_loss = -torch.distributions.Laplace(recon, 1.0).log_prob(
+        x0).mean(0).sum()
+    kl = (0.5 * (plv - lv + (lv - plv).exp()
+                 + (mu - pmu).pow(2) / plv.exp() - 1).sum(-1)).mean(0)
+    theirs = float(recon_loss + kl * 1.4)
+    assert ours == pytest.approx(theirs, rel=3e-4)
+
+
+def test_telbo_both_stages_match_torch_reference_math(monkeypatch):
+    """TELBO parity for stage 1 (joint ELBO with lambda factors) and
+    stage 2 (unimodal ELBOs with gamma factors — including the reference's
+    joint-log-var quirk in the KLD, ``telbo_model.py:118-121``)."""
+    import torch
+
+    import multivae_tpu.models.telbo.telbo_model as telbo_mod
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import TELBO, TELBOConfig
+    from multivae_tpu.models.base.step import StepInfo
+
+    monkeypatch.setattr(telbo_mod, "rsample_from_gaussian",
+                        lambda rng, mu, lv, **kw: mu)
+
+    model = TELBO(TELBOConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS, warmup=2,
+        lambda_factors={"m0": 2.0, "m1": 0.5},
+        gamma_factors={"m0": 1.5, "m1": 0.7},
+        decoders_dist={m: "laplace" for m in DIMS},
+    ), seed=0)
+    rng = np.random.default_rng(9)
+    B = 8
+    data = {m: rng.uniform(size=(B, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    ds = MultimodalBaseDataset(data)
+    batch = as_batch(ds[:])
+    t = lambda a: torch.tensor(np.asarray(a, np.float32))  # noqa: E731
+    x = {m: torch.tensor(data[m]) for m in DIMS}
+    p = model.params
+
+    # ---- stage 1
+    ours1 = float(model.loss_function(
+        p, batch, jax.random.key(0), StepInfo.create(epoch=1)).loss)
+    joint = model.apply_joint_encoder(p, batch.data)
+    jmu, jlv = t(joint["embedding"]), t(joint["log_covariance"])
+    recon_loss = 0
+    for m, lam in [("m0", 2.0), ("m1", 0.5)]:
+        r = t(model.decode_mod(p, m, np.asarray(jmu)))
+        recon_loss = recon_loss + (
+            -torch.distributions.Laplace(r.reshape(B, -1), 1.0).log_prob(
+                x[m].reshape(B, -1)) * lam).sum()
+    kld = -0.5 * torch.sum(1 + jlv - jmu.pow(2) - jlv.exp())
+    assert ours1 == pytest.approx(float((recon_loss + kld) / B), rel=3e-4)
+
+    # ---- stage 2
+    model.set_stage(2)
+    ours2 = float(model.loss_function(
+        p, batch, jax.random.key(0), StepInfo.create(epoch=3)).loss)
+    loss2 = 0
+    for m, gam in [("m0", 1.5), ("m1", 0.7)]:
+        out = model.encode_mod(p, m, batch.data[m])
+        mmu, mlv = t(out["embedding"]), t(out["log_covariance"])
+        r = t(model.decode_mod(p, m, np.asarray(mmu)))
+        rec = (-torch.distributions.Laplace(r.reshape(B, -1), 1.0).log_prob(
+            x[m].reshape(B, -1)) * gam).sum()
+        # the reference quirk: joint log_var inside the unimodal KLD
+        kld_m = -0.5 * torch.sum(1 + jlv - mmu.pow(2) - mlv.exp())
+        loss2 = loss2 + rec + kld_m
+    model.set_stage(1)
+    assert ours2 == pytest.approx(float(loss2 / B), rel=3e-4)
