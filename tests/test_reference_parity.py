@@ -1219,3 +1219,55 @@ def test_telbo_both_stages_match_torch_reference_math(monkeypatch):
         loss2 = loss2 + rec + kld_m
     model.set_stage(1)
     assert ours2 == pytest.approx(float(loss2 / B), rel=3e-4)
+
+
+def test_jmvae_loss_matches_torch_reference_math(monkeypatch):
+    """JMVAE parity (``jmvae_model.py:116-190``): joint ELBO + alpha*LJM
+    with warmup annealing — deterministic via mean-z."""
+    import torch
+
+    import multivae_tpu.models.jmvae.jmvae_model as jmvae_mod
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import JMVAE, JMVAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+
+    monkeypatch.setattr(jmvae_mod, "rsample_from_gaussian",
+                        lambda rng, mu, lv, **kw: mu)
+
+    model = JMVAE(JMVAEConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        alpha=0.4, beta=1.2, warmup=4,
+        decoders_dist={m: "laplace" for m in DIMS},
+    ), seed=0)
+    rng = np.random.default_rng(10)
+    B = 8
+    data = {m: rng.uniform(size=(B, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    ds = MultimodalBaseDataset(data)
+    batch = as_batch(ds[:])
+    t = lambda a: torch.tensor(np.asarray(a, np.float32))  # noqa: E731
+    x = {m: torch.tensor(data[m]) for m in DIMS}
+    p = model.params
+
+    for epoch, ann in [(2, 0.5), (6, 1.0)]:  # mid-warmup and after
+        ours = float(model.loss_function(
+            p, batch, jax.random.key(0), StepInfo.create(epoch=epoch)).loss)
+
+        joint = model.apply_joint_encoder(p, batch.data)
+        jmu, jlv = t(joint["embedding"]), t(joint["log_covariance"])
+        recon_loss = 0
+        for m in DIMS:
+            r = t(model.decode_mod(p, m, np.asarray(jmu)))
+            recon_loss = recon_loss - torch.distributions.Laplace(
+                r.reshape(B, -1), 1.0).log_prob(x[m].reshape(B, -1)).sum()
+        KLD = -0.5 * torch.sum(1 + jlv - jmu.pow(2) - jlv.exp()) * 1.2
+        LJM = 0
+        for m in DIMS:
+            out = model.encode_mod(p, m, batch.data[m])
+            umu, ulv = t(out["embedding"]), t(out["log_covariance"])
+            LJM = LJM + 0.5 * (ulv - jlv
+                               + (jlv.exp() + (jmu - umu) ** 2) / ulv.exp()
+                               - 1)
+        LJM = LJM.sum() * 0.4
+        theirs = float((recon_loss + ann * (KLD + LJM)) / B)
+        assert ours == pytest.approx(theirs, rel=3e-4), epoch
