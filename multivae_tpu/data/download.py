@@ -31,7 +31,9 @@ def extract_archive(archive_path: str, dest_dir: str):
         return
     if tarfile.is_tarfile(archive_path):
         with tarfile.open(archive_path) as tf:
-            tf.extractall(dest_dir)
+            # filter="data" rejects path traversal / special members (the CUB
+            # mirror is plain http, so the archive is untrusted in transit).
+            tf.extractall(dest_dir, filter="data")
         return
     raise ValueError(f"Unsupported archive format: {archive_path}")
 

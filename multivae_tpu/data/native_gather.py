@@ -67,9 +67,14 @@ def gather_rows(src: np.ndarray, indices: np.ndarray,
     lib = _load_library()
     if lib is None or not src.flags["C_CONTIGUOUS"]:
         return src[indices]
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    # The C library trusts indices; out-of-range would read arbitrary memory.
+    # Negative indices are valid numpy semantics the native path lacks, so
+    # both cases route to the (bounds-checked) numpy gather.
+    if indices.size and (indices.min() < 0 or indices.max() >= len(src)):
+        return src[indices]
     if n_threads is None:
         n_threads = min(8, os.cpu_count() or 1)
-    indices = np.ascontiguousarray(indices, dtype=np.int64)
     out = np.empty((len(indices), *src.shape[1:]), dtype=src.dtype)
     row_bytes = src.dtype.itemsize * int(np.prod(src.shape[1:], initial=1))
     lib.gather_rows(

@@ -87,6 +87,7 @@ class MVTCAE(BaseMultiVAE):
                 + joint_log_var
                 - lv_m,
                 axis=-1,
+                dtype=jnp.float32,
             )
             kld_m = jnp.sum(kld_m * batch.masks[m] * w)
             metrics["kld_" + m] = kld_m
