@@ -22,6 +22,33 @@ DIMS = {"m0": (1, 28, 28), "m1": (3, 32, 32)}
 N_STEPS = 40
 N_STEPS_TORCH = 6
 
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 MXU. MFU for fp32 workloads is
+# quoted against the same bf16 peak (the MXU computes fp32 matmuls as
+# multi-pass bf16, so fp32 configs "pay" their precision in MFU).
+PEAK_TFLOPS_BF16 = 197.0
+
+
+def _flops_of(jitted, *args) -> float | None:
+    """XLA-reported FLOPs for one dispatch of a jitted fn (None if the
+    backend doesn't expose cost analysis)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def _mfu_fields(prefix: str, flops_per_step, step_seconds) -> dict:
+    if not flops_per_step or not step_seconds:
+        return {}
+    tflops = flops_per_step / step_seconds / 1e12
+    return {
+        f"{prefix}_tflops": round(tflops, 2),
+        f"{prefix}_mfu_pct": round(100.0 * tflops / PEAK_TFLOPS_BF16, 2),
+    }
+
 
 def bench_jax():
     import jax
@@ -85,7 +112,10 @@ def bench_jax():
         state, losses = multi_step(state, batch, info)
     float(losses[-1])
     dt = time.perf_counter() - t0
-    return N_STEPS * N_INNER / dt
+    # cost_analysis counts a lax.scan body ONCE (trip count is opaque to
+    # HloCostAnalysis — verified empirically), so raw flops ≈ one step.
+    flops = _flops_of(multi_step, state, batch, info)
+    return N_STEPS * N_INNER / dt, flops
 
 
 def bench_torch_reference_style():
@@ -304,7 +334,9 @@ def bench_mmvae_bf16(n_steps=15):
     for _ in range(n_steps):
         p, o, losses = multi_step(p, o, batch, key)
     float(losses[-1])
-    return (time.perf_counter() - t0) / (n_steps * N_INNER)
+    # scan body counted once by cost_analysis -> raw flops ≈ one step
+    flops = _flops_of(multi_step, model.params, opt_state, batch, key)
+    return (time.perf_counter() - t0) / (n_steps * N_INNER), flops
 
 
 def bench_mvtcae_conv(n_steps=10):
@@ -361,7 +393,10 @@ def bench_mvtcae_conv(n_steps=10):
     for _ in range(n_steps):
         p, o, ls = multi(p, o, batch, jax.random.key(1))
     float(ls[-1])
-    return (time.perf_counter() - t0) / (n_steps * 10)
+    # scan body counted once by cost_analysis -> raw flops ≈ one step
+    flops = _flops_of(multi, model.params, opt_state, batch,
+                      jax.random.key(0))
+    return (time.perf_counter() - t0) / (n_steps * 10), flops
 
 
 def bench_mopoe(n_steps=15):
@@ -397,28 +432,35 @@ def bench_mopoe(n_steps=15):
     for _ in range(n_steps):
         v, g = grad_step(model.params, batch, key)
     float(v)
-    return (time.perf_counter() - t0) / n_steps
+    flops = _flops_of(grad_step, model.params, batch, key)
+    return (time.perf_counter() - t0) / n_steps, flops
 
 
 def main():
-    jax_sps = bench_jax()
+    jax_sps, mlp_flops = bench_jax()
     torch_sps = bench_torch_reference_style()
     nll_jax_s = bench_nll_jax()
     nll_torch_s = bench_nll_torch()
-    mmvae_ms = bench_mmvae_bf16() * 1000
-    mopoe_ms = bench_mopoe() * 1000
-    conv_ms = bench_mvtcae_conv() * 1000
-    print(json.dumps({
+    mmvae_s, mmvae_flops = bench_mmvae_bf16()
+    mopoe_s, mopoe_flops = bench_mopoe()
+    conv_s, conv_flops = bench_mvtcae_conv()
+    out = {
         "metric": "mvtcae_train_steps_per_sec",
         "value": round(jax_sps, 3),
         "unit": "steps/s (batch=256, latent=512, MLP-512, 2 modalities)",
         "vs_baseline": round(jax_sps / torch_sps, 3),
         "nll_k1000_512pts_seconds": round(nll_jax_s, 3),
         "nll_k1000_vs_torch_cpu": round(nll_torch_s / nll_jax_s, 2),
-        "mmvae_dreg_bf16_step_ms": round(mmvae_ms, 2),
-        "mopoe_31subset_step_ms": round(mopoe_ms, 2),
-        "mvtcae_polymnist_conv_step_ms": round(conv_ms, 2),
-    }))
+        "mmvae_dreg_bf16_step_ms": round(mmvae_s * 1000, 2),
+        "mopoe_31subset_step_ms": round(mopoe_s * 1000, 2),
+        "mvtcae_polymnist_conv_step_ms": round(conv_s * 1000, 2),
+        "peak_tflops_bf16": PEAK_TFLOPS_BF16,
+    }
+    out.update(_mfu_fields("mvtcae_mlp_fp32", mlp_flops, 1.0 / jax_sps))
+    out.update(_mfu_fields("mmvae_dreg_bf16", mmvae_flops, mmvae_s))
+    out.update(_mfu_fields("mopoe_fp32", mopoe_flops, mopoe_s))
+    out.update(_mfu_fields("mvtcae_conv_fp32", conv_flops, conv_s))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
