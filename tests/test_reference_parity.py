@@ -1271,3 +1271,461 @@ def test_jmvae_loss_matches_torch_reference_math(monkeypatch):
         LJM = LJM.sum() * 0.4
         theirs = float((recon_loss + ann * (KLD + LJM)) / B)
         assert ours == pytest.approx(theirs, rel=3e-4), epoch
+
+
+def test_mmvaePlus_iwae_looser_matches_torch_reference_math():
+    """MMVAE+ parity (``mmvaePlus_model.py:230-363``): K-sample lws with
+    shared u + private w latents, cross-modal reconstructions from the
+    modality priors, masked MoE mixture on incomplete data — torch replica
+    built from raw weights with the SAME fixed latent samples."""
+    import math
+
+    import torch
+
+    from multivae_tpu.data import IncompleteDataset
+    from multivae_tpu.models import MMVAEPlus, MMVAEPlusConfig
+    from multivae_tpu.nn import (
+        BaseAEConfig,
+        Decoder_AE_MLP,
+        Encoder_VAE_MLP_Style,
+    )
+
+    K, B, STYLE, BETA = 3, 8, 3, 1.3
+    encoders = {
+        m: Encoder_VAE_MLP_Style(
+            BaseAEConfig(input_dim=d, latent_dim=LATENT, style_dim=STYLE),
+            hidden_dim=HID)
+        for m, d in DIMS.items()
+    }
+    decoders = {
+        m: Decoder_AE_MLP(
+            BaseAEConfig(input_dim=d, latent_dim=LATENT + STYLE),
+            hidden_dim=HID)
+        for m, d in DIMS.items()
+    }
+    model = MMVAEPlus(MMVAEPlusConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        K=K, beta=BETA, modalities_specific_dim=STYLE, loss="iwae_looser",
+        prior_and_posterior_dist="laplace_with_softmax",
+        decoders_dist={m: "laplace" for m in DIMS},
+    ), encoders=encoders, decoders=decoders, seed=0)
+
+    rng = np.random.default_rng(3)
+    masks = {"m0": np.array([1, 1, 0, 1, 1, 0, 1, 1], bool),
+             "m1": np.ones(B, bool)}
+    data = {m: (rng.uniform(size=(B, *d)) * masks[m][:, None]).astype(
+        np.float32) for m, d in DIMS.items()}
+    ds = IncompleteDataset(data=data, masks=masks)
+    batch = as_batch(ds[:])
+    mods = list(DIMS)
+
+    # fixed latent samples + fixed cross-modal prior draws for BOTH sides
+    zs_np = {m: {"u": rng.normal(size=(K, B, LATENT)).astype(np.float32),
+                 "w": rng.normal(size=(K, B, STYLE)).astype(np.float32)}
+             for m in mods}
+    cross_w_np = {m: rng.normal(size=(len(mods), K, B, STYLE)).astype(
+        np.float32) for m in mods}
+
+    # ---- ours: decode from the fixed latents, then the iwae_looser loss
+    posteriors = model._posteriors(model.params, batch)
+    zs_j = {m: {k: jnp.asarray(v) for k, v in zs_np[m].items()}
+            for m in mods}
+    cross_w_j = {m: jnp.asarray(v) for m, v in cross_w_np.items()}
+    recons = model._decode_with_latents(model.params, zs_j, cross_w_j)
+    ours = float(model._iwae_looser(
+        model.params, batch, posteriors, zs_j, recons).loss)
+
+    # ---- torch replica from raw weights (reference formulas)
+    x = {m: torch.tensor(data[m]) for m in mods}
+    tm = {m: torch.tensor(masks[m]) for m in mods}
+
+    def enc(m):
+        p = model.params["encoders"][m]
+        W = {k: torch.tensor(np.asarray(p[k]["kernel"])) for k in p}
+        b = {k: torch.tensor(np.asarray(p[k]["bias"])) for k in p}
+        h = torch.relu(x[m].reshape(B, -1) @ W["Dense_0"] + b["Dense_0"])
+        return tuple(h @ W[f"Dense_{i}"] + b[f"Dense_{i}"]
+                     for i in (1, 2, 3, 4))
+
+    def dec(m, z):
+        p = model.params["decoders"][m]
+        h = torch.relu(z @ torch.tensor(np.asarray(p["Dense_0"]["kernel"]))
+                       + torch.tensor(np.asarray(p["Dense_0"]["bias"])))
+        return torch.sigmoid(
+            h @ torch.tensor(np.asarray(p["Dense_1"]["kernel"]))
+            + torch.tensor(np.asarray(p["Dense_1"]["bias"])))
+
+    def softmax_scale(lv):
+        return torch.softmax(lv, dim=-1) * lv.shape[-1] + 1e-6
+
+    qu, qw = {}, {}
+    for m in mods:
+        mu, lv, smu, slv = enc(m)
+        qu[m] = torch.distributions.Laplace(mu, softmax_scale(lv))
+        qw[m] = torch.distributions.Laplace(smu, softmax_scale(slv))
+    # modality / shared priors: zero means, learnable zero log-vars
+    prior_full = torch.distributions.Laplace(
+        torch.zeros(LATENT + STYLE), torch.full((LATENT + STYLE,), 1 + 1e-6))
+
+    n_mods_sample = (tm["m0"].float() + tm["m1"].float())
+    tz = {m: {k: torch.tensor(v) for k, v in zs_np[m].items()} for m in mods}
+
+    lws = []
+    for i, m in enumerate(mods):
+        u, w = tz[m]["u"], tz[m]["w"]
+        lpz = prior_full.log_prob(torch.cat([u, w], dim=-1)).sum(-1)
+        lq = []
+        for mm in mods:
+            lp = qu[mm].log_prob(u).sum(-1)
+            lp = torch.where(tm[mm], lp, torch.tensor(-torch.inf))
+            lq.append(lp)
+        lqu = torch.logsumexp(torch.stack(lq), 0) - torch.log(n_mods_sample)
+        lqw = qw[m].log_prob(w).sum(-1)
+        lpx = 0
+        for j, rm in enumerate(mods):
+            w_dec = w if rm == m else torch.tensor(cross_w_np[rm][i])
+            z = torch.cat([u, w_dec], dim=-1)
+            recon = dec(rm, z.reshape(-1, LATENT + STYLE)).reshape(K, B, -1)
+            lp = torch.distributions.Laplace(recon, 1.0).log_prob(
+                x[rm].reshape(B, -1)).sum(-1)
+            lpx = lpx + lp * tm[rm].float()
+        lw = lpx + BETA * (lpz - lqu - lqw)
+        lws.append(lw * tm[m].float())
+    stacked = torch.stack(lws)                        # (M, K, B)
+    k_est = torch.logsumexp(stacked, dim=1) - math.log(K)
+    theirs = float(-(k_est.sum(0) / n_mods_sample).sum())
+
+    assert ours == pytest.approx(theirs, rel=3e-4)
+
+
+def test_mhvae_all_subset_loss_matches_torch_reference_math(monkeypatch):
+    """MHVAE parity (``mhvae_model.py:90-262``): per-level PoE with prior
+    expert and inf-log-var missing experts, hierarchical KLs, recon from
+    z_1, averaged over all non-empty subsets — deterministic via mean-z,
+    torch replica built from raw weights on incomplete data."""
+    import torch
+
+    import multivae_tpu.models.mhvae.mhvae_model as mhvae_mod
+    from mhvae_test_architectures import build_mhvae_blocks
+    from multivae_tpu.data import IncompleteDataset
+    from multivae_tpu.models import MHVAE, MHVAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+
+    monkeypatch.setattr(
+        mhvae_mod, "rsample_from_gaussian",
+        lambda rng, mu, lv, return_mean=False, **kw: mu)
+
+    N_LATENT, LD, B, BETA = 3, 4, 8, 1.4
+    enc, dec, bup, tdn, post, prior = build_mhvae_blocks(
+        DIMS, n_latent=N_LATENT, latent_dim=LD, shared_posteriors=True)
+    model = MHVAE(MHVAEConfig(
+        n_modalities=2, latent_dim=LD, input_dims=DIMS, n_latent=N_LATENT,
+        beta=BETA, decoders_dist={m: "laplace" for m in DIMS},
+    ), encoders=enc, decoders=dec, bottom_up_blocks=bup,
+        top_down_blocks=tdn, posterior_blocks=post, prior_blocks=prior,
+        seed=0)
+
+    rng = np.random.default_rng(7)
+    masks = {"m0": np.array([1, 0, 1, 1, 1, 0, 1, 1], bool),
+             "m1": np.ones(B, bool)}
+    data = {m: (rng.uniform(size=(B, *d)) * masks[m][:, None]).astype(
+        np.float32) for m, d in DIMS.items()}
+    ds = IncompleteDataset(data=data, masks=masks)
+    batch = as_batch(ds[:])
+    model.init_params_with_batch(batch)
+    p = model.params
+
+    ours = float(model.loss_function(
+        p, batch, jax.random.key(0), StepInfo.create(epoch=1)).loss)
+
+    # ---- torch replica from raw weights
+    x = {m: torch.tensor(data[m]) for m in DIMS}
+    tm = {m: torch.tensor(masks[m]) for m in DIMS}
+
+    def lin(block_p, name, h):
+        return h @ torch.tensor(np.asarray(block_p[name]["kernel"])) + \
+            torch.tensor(np.asarray(block_p[name]["bias"]))
+
+    def head(block_p, h):
+        """LatentHead / BottomUpLast: relu hidden + (mu, lv) heads."""
+        hh = torch.relu(lin(block_p, "Dense_0", h))
+        return lin(block_p, "Dense_1", hh), lin(block_p, "Dense_2", hh)
+
+    # bottom-up: InputEncoder -> BottomUpMid -> BottomUpLast
+    skips, zl = {}, {}
+    for m in DIMS:
+        h = torch.relu(lin(p["encoders"][m], "Dense_0",
+                           x[m].reshape(B, -1)))
+        mod_skips = [h]
+        h = torch.relu(lin(p["bottom_up"][m]["0"], "Dense_0", h))
+        mod_skips.append(h)
+        zl[m] = head(p["bottom_up"][m]["1"], h)
+        skips[m] = mod_skips
+
+    def poe_t(mus, lvs):
+        """Reference poe (``base_utils.py:122-130``): inf log-var experts
+        contribute zero precision."""
+        prec = torch.stack([torch.exp(-l) for l in lvs])
+        var = 1.0 / prec.sum(0)
+        mu = (torch.stack(mus) * prec).sum(0) * var
+        return mu, torch.log(var)
+
+    def kl_t(mu, lv, pmu, plv):
+        return 0.5 * (plv - lv + (lv.exp() + (mu - pmu) ** 2) / plv.exp()
+                      - 1).sum()
+
+    def subset_loss(subset):
+        mus, lvs = [], []
+        for m in subset:
+            lv = zl[m][1].clone()
+            lv[~tm[m]] = torch.inf
+            mus.append(zl[m][0])
+            lvs.append(lv)
+        mus.append(torch.zeros(B, LD))
+        lvs.append(torch.zeros(B, LD))
+        jmu, jlv = poe_t(mus, lvs)
+        kl = kl_t(jmu, jlv, torch.zeros(B, LD), torch.zeros(B, LD))
+        z = jmu  # mean-z
+        for i in range(N_LATENT - 1, 0, -1):
+            h = torch.relu(lin(p["top_down"][str(i - 1)], "Dense_0", z))
+            pmu, plv = head(p["prior"][str(i - 1)], h)
+            mus, lvs = [], []
+            for m in subset:
+                concat = torch.cat([h, skips[m][i - 1]], dim=-1)
+                qmu, qlv = head(p["posterior"][str(i - 1)], concat)
+                qlv = qlv.clone()
+                qlv[~tm[m]] = torch.inf
+                mus.append(qmu)
+                lvs.append(qlv)
+            mus.append(pmu)
+            lvs.append(plv)
+            lmu, llv = poe_t(mus, lvs)
+            z = lmu
+            kl = kl + kl_t(lmu, llv, pmu, plv)
+        recon_loss = 0
+        for m in DIMS:
+            hh = torch.relu(lin(p["decoders"][m], "Dense_0", z))
+            recon = lin(p["decoders"][m], "Dense_1", hh)
+            lp = torch.distributions.Laplace(recon, 1.0).log_prob(
+                x[m].reshape(B, -1)).sum(-1)
+            recon_loss = recon_loss + (-lp * tm[m].float()).sum()
+        return recon_loss + BETA * kl
+
+    losses = [subset_loss(s) for s in [("m0",), ("m1",), ("m0", "m1")]]
+    theirs = float(torch.stack(losses).mean())
+    assert ours == pytest.approx(theirs, rel=3e-4)
+
+
+def _torch_maf_forward(flow_params, z, latent_dim, hidden, n_hidden):
+    """Torch replica of ops.flows.MAF.__call__ (density direction) from raw
+    weights, with the MADE mask construction re-derived independently
+    (Papamakarios et al. 2017 convention, as in pythae's MAF that the
+    reference uses at ``jnf_model.py:73-78``)."""
+    import torch
+
+    degrees = [np.arange(1, latent_dim + 1)]
+    for _ in range(n_hidden):
+        degrees.append((np.arange(hidden) % (latent_dim - 1)) + 1
+                       if latent_dim > 1 else np.ones(hidden, int))
+    hidden_masks = [
+        torch.tensor((d_out[None, :] >= d_in[:, None]).astype(np.float32))
+        for d_in, d_out in zip(degrees[:-1], degrees[1:])
+    ]
+    out_mask = torch.tensor(
+        (degrees[0][None, :] > degrees[-1][:, None]).astype(np.float32))
+
+    u = z
+    log_det = torch.zeros(z.shape[:-1])
+    for b in sorted(flow_params.keys()):  # blocks_0, blocks_1, ...
+        bp = flow_params[b]
+        h = u
+        for i, mask in enumerate(hidden_masks):
+            lp = bp[f"hidden_{i}"]
+            h = torch.relu(
+                h @ (torch.tensor(np.asarray(lp["kernel"])) * mask)
+                + torch.tensor(np.asarray(lp["bias"])))
+        mu = h @ (torch.tensor(np.asarray(bp["mu"]["kernel"])) * out_mask) \
+            + torch.tensor(np.asarray(bp["mu"]["bias"]))
+        alpha = h @ (torch.tensor(np.asarray(bp["alpha"]["kernel"]))
+                     * out_mask) \
+            + torch.tensor(np.asarray(bp["alpha"]["bias"]))
+        alpha = torch.tanh(alpha) * 3.0
+        u = (u - mu) * torch.exp(-alpha)
+        log_det = log_det - alpha.sum(-1)
+        u = torch.flip(u, dims=(-1,))
+    return u, log_det
+
+
+def test_jnf_both_stages_match_torch_reference_math(monkeypatch):
+    """JNF parity (``jnf_model.py:109-182``): stage-1 joint ELBO and the
+    stage-2 L_JM flow objective, with the MAF density direction replicated
+    in torch from raw weights — deterministic via mean-z."""
+    import math
+
+    import torch
+
+    import multivae_tpu.models.jnf.jnf_model as jnf_mod
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import JNF, JNFConfig
+    from multivae_tpu.models.base.step import StepInfo
+    from multivae_tpu.ops.flows import MAF
+
+    monkeypatch.setattr(jnf_mod, "rsample_from_gaussian",
+                        lambda rng, mu, lv, **kw: mu)
+
+    HIDDEN, NH = 16, 2
+    flows = {m: MAF(input_dim=LATENT, n_made_blocks=2, hidden_size=HIDDEN,
+                    n_hidden_in_made=NH) for m in DIMS}
+    model = JNF(JNFConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        warmup=2, beta=1.6, decoders_dist={m: "laplace" for m in DIMS},
+    ), flows=flows, seed=0)
+    rng = np.random.default_rng(11)
+    B = 8
+    data = {m: rng.uniform(size=(B, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    ds = MultimodalBaseDataset(data)
+    batch = as_batch(ds[:])
+    p = model.params
+    t = lambda a: torch.tensor(np.asarray(a, np.float32))  # noqa: E731
+    x = {m: torch.tensor(data[m]) for m in DIMS}
+
+    joint = model.apply_joint_encoder(p, batch.data)
+    jmu, jlv = t(joint["embedding"]), t(joint["log_covariance"])
+
+    # ---- stage 1: joint ELBO
+    ours1 = float(model.loss_function(
+        p, batch, jax.random.key(0), StepInfo.create(epoch=1)).loss)
+    recon_loss = 0
+    for m in DIMS:
+        r = t(model.decode_mod(p, m, np.asarray(jmu)))
+        recon_loss = recon_loss - torch.distributions.Laplace(
+            r.reshape(B, -1), 1.0).log_prob(x[m].reshape(B, -1)).sum()
+    kld = -0.5 * torch.sum(1 + jlv - jmu.pow(2) - jlv.exp()) * 1.6
+    assert ours1 == pytest.approx(float((recon_loss + kld) / B), rel=3e-4)
+
+    # ---- stage 2: L_JM through the flows
+    model.set_stage(2)
+    ours2 = float(model.loss_function(
+        p, batch, jax.random.key(0), StepInfo.create(epoch=3)).loss)
+    model.set_stage(1)
+
+    ljm = 0
+    for m in DIMS:
+        out = model.encode_mod(p, m, batch.data[m])
+        mu0, lv0 = t(out["embedding"]), t(out["log_covariance"])
+        z0, log_det = _torch_maf_forward(
+            p["flows"][m], jmu, LATENT, HIDDEN, NH)
+        log_q = (-0.5 * (lv0 + math.log(2 * math.pi)
+                         + (z0 - mu0) ** 2 / lv0.exp())).sum(-1)
+        ljm = ljm - (log_q + log_det).sum()
+    assert ours2 == pytest.approx(float(ljm / B), rel=3e-4)
+
+
+def test_jnf_poe_log_density_and_grad_match_torch_autograd():
+    """The HMC target (``jnf_model.py:295-341``): PoE-of-flows log density
+    and its z-gradient. Ours uses jax.grad of the flow density; the torch
+    replica uses autograd through an independently-built MAF forward.
+    This pins the leapfrog force term of the HMC subset sampler."""
+    import math
+
+    import torch
+
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import JNF, JNFConfig
+    from multivae_tpu.ops.flows import MAF
+
+    HIDDEN, NH = 16, 2
+    flows = {m: MAF(input_dim=LATENT, n_made_blocks=2, hidden_size=HIDDEN,
+                    n_hidden_in_made=NH) for m in DIMS}
+    model = JNF(JNFConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        decoders_dist={m: "laplace" for m in DIMS},
+    ), flows=flows, seed=0)
+    rng = np.random.default_rng(13)
+    B = 8
+    data = {m: rng.uniform(size=(B, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    ds = MultimodalBaseDataset(data)
+    batch = as_batch(ds[:])
+    p = model.params
+    subset = ("m0", "m1")
+
+    enc_params = {}
+    for m in subset:
+        out = model.encode_mod(p, m, batch.data[m])
+        enc_params[m] = (out["embedding"], out["log_covariance"])
+
+    z_np = rng.normal(size=(B, LATENT)).astype(np.float32)
+
+    def ld(z):
+        return model._poe_log_density(p, z, enc_params, subset,
+                                      divide_prior=True)
+
+    ours_val = np.asarray(ld(jnp.asarray(z_np)))
+    ours_grad = np.asarray(jax.grad(lambda z: ld(z).sum())(
+        jnp.asarray(z_np)))
+
+    # ---- torch replica with autograd
+    z = torch.tensor(z_np, requires_grad=True)
+    lnqzs = (0.5 * (z ** 2 + math.log(2 * math.pi))).sum(-1)
+    for m in subset:
+        mu0 = torch.tensor(np.asarray(enc_params[m][0]))
+        lv0 = torch.tensor(np.asarray(enc_params[m][1]))
+        z0, log_det = _torch_maf_forward(
+            p["flows"][m], z, LATENT, HIDDEN, NH)
+        log_q = (-0.5 * (lv0 + math.log(2 * math.pi)
+                         + (z0 - mu0) ** 2 / lv0.exp())).sum(-1)
+        lnqzs = lnqzs + log_q + log_det
+    g = torch.autograd.grad(lnqzs.sum(), z)[0]
+
+    np.testing.assert_allclose(ours_val, lnqzs.detach().numpy(),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(ours_grad, g.numpy(), rtol=2e-3, atol=1e-5)
+
+
+def test_jnf_hmc_subset_sampler_statistics():
+    """End-to-end HMC statistics (``jnf_model.py:343-436``): with identity
+    flows the PoE-of-flows target is an analytic Gaussian product; the HMC
+    chain's empirical per-datapoint mean/std must match it."""
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import JNF, JNFConfig
+    from multivae_tpu.ops.flows import MAF
+
+    flows = {m: MAF(input_dim=LATENT, n_made_blocks=1, hidden_size=8,
+                    n_hidden_in_made=1) for m in DIMS}
+    model = JNF(JNFConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        decoders_dist={m: "laplace" for m in DIMS},
+    ), flows=flows, seed=0)
+    # zero flow weights -> identity flow (mu=0, alpha=tanh(0)*3=0)
+    p = dict(model.params)
+    p["flows"] = jax.tree.map(jnp.zeros_like, model.params["flows"])
+
+    rng = np.random.default_rng(17)
+    B = 2
+    data = {m: rng.uniform(size=(B, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    ds = MultimodalBaseDataset(data)
+    batch = as_batch(ds[:])
+    subset = ("m0", "m1")
+
+    # analytic PoE target (divide_prior=False): precision-weighted product
+    mus, precs = [], []
+    for m in subset:
+        out = model.encode_mod(p, m, batch.data[m])
+        mus.append(np.asarray(out["embedding"]))
+        precs.append(np.exp(-np.asarray(out["log_covariance"])))
+    prec = sum(precs)
+    target_mu = sum(m_ * pr for m_, pr in zip(mus, precs)) / prec
+    target_std = prec ** -0.5
+
+    K = 600
+    z = model._sample_from_poe_subset(
+        p, batch, subset, jax.random.key(0), mcmc_steps=250, n_lf=10,
+        eps_lf=0.1, K=K, divide_prior=False)
+    z = np.asarray(z)                       # (K, B, D)
+    assert z.shape == (K, B, LATENT)
+    emp_mu, emp_std = z.mean(0), z.std(0)
+    np.testing.assert_allclose(emp_mu, target_mu, atol=0.2 * target_std.max())
+    np.testing.assert_allclose(emp_std, target_std, rtol=0.3)
