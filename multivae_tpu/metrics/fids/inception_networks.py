@@ -3,8 +3,9 @@
 Port of the FID-specific InceptionV3 used by the reference
 (``src/multivae/metrics/fids/inception_networks.py:18-357``, itself the
 pytorch-fid / mseitzer variant). Differences of the FID variant vs stock
-torchvision InceptionV3: InceptionA/C/E blocks use average pooling with
-``count_include_pad=False`` semantics and the final E block uses average
+torchvision InceptionV3: InceptionA/C and the first E block (Mixed_7b) use
+average pooling with ``count_include_pad=False`` semantics, while the final
+E block (Mixed_7c, ``FIDInceptionE_2`` at reference ``:294-322``) uses MAX
 pooling in the pool branch.
 
 Weights: no network egress here, so the pretrained weights must be provided
@@ -129,7 +130,7 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
-    pool_type: str = "avg"  # FID variant uses avg in both E blocks
+    pool_type: str = "avg"  # FID variant: avg in Mixed_7b, MAX in Mixed_7c
 
     @nn.compact
     def __call__(self, x):
@@ -180,7 +181,7 @@ class InceptionV3FID(nn.Module):
         x = InceptionC(192, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(pool_type="max", name="Mixed_7c")(x)
         x = x.mean(axis=(1, 2))  # adaptive avg pool -> (B, 2048)
         return ModelOutput(embedding=x)
 
