@@ -287,7 +287,9 @@ class MMVAE(BaseMultiVAE):
             return lpx_z + lpz - lqz
 
         ln_px = iwae_log_marginal(logw_chunk, rng, K, batch_size_K)
-        return -jnp.sum(ln_px)
+        # weights are 1 for real rows and 0 for loader padding rows, so the
+        # evaluator can keep one compiled shape across partial final batches.
+        return -jnp.sum(ln_px * batch.weights)
 
     def compute_joint_nll_paper(self, inputs, K: int = 1000,
                                 batch_size_K: int = 10, rng=None):
@@ -305,19 +307,16 @@ class MMVAE(BaseMultiVAE):
         return fn(params, batch, rng)
 
     def _joint_nll_paper(self, params, batch, rng, *, K, batch_size_K):
-        lws_chunks = []
-        counts = []
-        n_done = 0
-        while n_done < K:
-            n = min(batch_size_K, K - n_done)
-            rng, sub = jax.random.split(rng)
-            post_params = self._posterior_params(params, batch)
+        from ...ops.iwae import chunked_logsumexp
+
+        post_params = self._posterior_params(params, batch)
+
+        def chunk_lse(sub, n):
             zs = self._sample_embeddings(params, batch, post_params, sub, n)
             ll = self._iwae(params, batch, post_params, zs)  # (B,)
-            lws_chunks.append(ll + math.log(n * self.n_modalities))
-            counts.append(n * self.n_modalities)
-            n_done += n
-        ll = jax.nn.logsumexp(jnp.stack(lws_chunks), axis=0) - math.log(
-            sum(counts)
-        )
-        return -ll
+            # _iwae normalizes by n and n_mods_sample; undo to get the raw
+            # chunk logsumexp so chunks of different sizes combine exactly.
+            return ll + math.log(n * self.n_modalities)
+
+        lse = chunked_logsumexp(chunk_lse, rng, K, batch_size_K)
+        return -(lse - math.log(K * self.n_modalities))

@@ -395,16 +395,15 @@ class MMVAEPlus(BaseMultiVAE):
         return fn(params, batch, rng)
 
     def _joint_nll(self, params, batch, rng, *, K, batch_size_K):
+        from ...ops.iwae import chunked_logsumexp
+
         k_iwae = max(K // self.n_modalities, 1)
         chunk = max(min(batch_size_K, k_iwae), 1)
 
         posteriors = self._posteriors(params, batch)
-        lse_chunks = []
-        counts = 0
-        n_done = 0
-        while n_done < k_iwae:
-            n = min(chunk, k_iwae - n_done)
-            rng, s_rng, r_rng = jax.random.split(rng, 3)
+
+        def chunk_lse(sub, n):
+            s_rng, r_rng = jax.random.split(sub)
             zs = self._sample_embeddings(params, posteriors, s_rng, n)
             recons, _ = self._reconstructions(params, batch, posteriors, zs,
                                               r_rng, n)
@@ -413,11 +412,10 @@ class MMVAEPlus(BaseMultiVAE):
                 detach_posteriors=False, beta=1.0, unit_rescale=True,
             )
             stacked = jnp.concatenate(list(lws.values()), axis=0)  # (M*n, B)
-            lse_chunks.append(jax.nn.logsumexp(stacked, axis=0))
-            counts += stacked.shape[0]
-            n_done += n
+            return jax.nn.logsumexp(stacked, axis=0)
 
-        ll = jax.nn.logsumexp(jnp.stack(lse_chunks), axis=0) - math.log(
-            counts
-        )
-        return -ll.sum()
+        lse = chunked_logsumexp(chunk_lse, rng, k_iwae, chunk)
+        ll = lse - math.log(k_iwae * self.n_modalities)
+        # weights zero out loader padding rows (one compiled shape for the
+        # evaluator's final partial batch).
+        return -(ll * batch.weights).sum()

@@ -385,7 +385,9 @@ class MoPoE(BaseMultiVAE):
             return lpx_z + lpz - lqz
 
         ln_px = iwae_log_marginal(logw_chunk, rng, K, batch_size_K)
-        return -jnp.sum(ln_px)
+        # weights are 1 for real rows and 0 for loader padding rows, so the
+        # evaluator can keep one compiled shape across partial final batches.
+        return -jnp.sum(ln_px * batch.weights)
 
     def _compute_joint_nll_from_subset_encoding(self, subset, inputs,
                                                 K: int = 1000,
@@ -440,4 +442,6 @@ class MoPoE(BaseMultiVAE):
             return lpx_z + lpz - lqz
 
         ln_px = iwae_log_marginal(logw_chunk, rng, K, batch_size_K)
-        return -jnp.sum(ln_px)
+        # weights are 1 for real rows and 0 for loader padding rows, so the
+        # evaluator can keep one compiled shape across partial final batches.
+        return -jnp.sum(ln_px * batch.weights)

@@ -219,3 +219,28 @@ def test_all_subsets_mask():
     assert subsets[-1] == ("a", "b", "c")
     np.testing.assert_allclose(mask[-1], [1, 1, 1])
     np.testing.assert_allclose(mask.sum(-1), [1, 1, 1, 2, 2, 2, 3])
+
+
+def test_chunked_logsumexp_matches_manual_rng_replay():
+    """chunked_logsumexp (scan over full chunks + remainder) == manually
+    replaying the same rng split chain and logsumexp-ing all weights at
+    once — exact, including the remainder path."""
+    from multivae_tpu.ops.iwae import chunked_logsumexp
+
+    B, K, chunk = 3, 17, 5  # 3 full chunks + remainder of 2
+
+    def chunk_lse(rng, n):
+        return jax.nn.logsumexp(jax.random.normal(rng, (n, B)), axis=0)
+
+    got = np.asarray(
+        chunked_logsumexp(chunk_lse, jax.random.key(0), K, chunk))
+
+    rng_key = jax.random.key(0)
+    parts = []
+    for _ in range(K // chunk):
+        rng_key, sub = jax.random.split(rng_key)
+        parts.append(jax.random.normal(sub, (chunk, B)))
+    rng_key, sub = jax.random.split(rng_key)
+    parts.append(jax.random.normal(sub, (K % chunk, B)))
+    want = np.asarray(jax.nn.logsumexp(jnp.concatenate(parts), axis=0))
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -214,3 +214,98 @@ def test_fsdp_with_mixed_precision(tmp_path):
     leaf = next(iter(
         x for x in __import__("jax").tree_util.tree_leaves(tr.state.params)))
     assert str(leaf.dtype) == "float32"  # master weights stay f32
+
+
+# ----------------------------------------------------------- multi-host story
+def test_multihost_loader_reassembles_global_batch():
+    """Two process-sharded DataLoaders == the single-process loader
+    (VERDICT r1 item 5): concatenating the per-process slices batch-by-batch
+    reproduces the global batch exactly, including zero-weight padding rows
+    on the final partial batch."""
+    from multivae_tpu.data.loader import DataLoader
+
+    rng = np.random.default_rng(2)
+    ds = MultimodalBaseDataset(
+        {m: rng.normal(size=(22, *d)).astype(np.float32)
+         for m, d in DIMS.items()})  # 22 % 8 = 6 -> last batch has 2 pads
+
+    kw = dict(batch_size=8, shuffle=True, seed=5)
+    single = DataLoader(ds, **kw)
+    p0 = DataLoader(ds, num_processes=2, process_index=0, **kw)
+    p1 = DataLoader(ds, num_processes=2, process_index=1, **kw)
+    for loader in (single, p0, p1):
+        loader.set_epoch(3)
+    assert p0.per_process_batch == 4
+
+    batches = list(zip(single, p0, p1))
+    assert len(batches) == len(single) == 3
+    for full, b0, b1 in batches:
+        for m in DIMS:
+            np.testing.assert_array_equal(
+                np.concatenate([np.asarray(b0.data[m]),
+                                np.asarray(b1.data[m])]),
+                np.asarray(full.data[m]))
+            np.testing.assert_array_equal(
+                np.concatenate([np.asarray(b0.masks[m]),
+                                np.asarray(b1.masks[m])]),
+                np.asarray(full.masks[m]))
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(b0.weights), np.asarray(b1.weights)]),
+            np.asarray(full.weights))
+    # the padding rows landed in the last process's slice with zero weight
+    last_w = np.asarray(batches[-1][2].weights)
+    assert last_w.sum() == 2.0 and (last_w[-2:] == 0).all()
+
+
+def test_multihost_loader_incomplete_masks():
+    """Per-process reassembly also preserves modality masks for incomplete
+    datasets."""
+    from multivae_tpu.data import IncompleteDataset
+    from multivae_tpu.data.loader import DataLoader
+
+    rng = np.random.default_rng(3)
+    n = 16
+    masks = {m: (rng.uniform(size=n) > 0.4) for m in DIMS}
+    ds = IncompleteDataset(
+        {m: rng.normal(size=(n, *d)).astype(np.float32)
+         for m, d in DIMS.items()},
+        masks=masks)
+
+    kw = dict(batch_size=8, shuffle=True, seed=1)
+    single = DataLoader(ds, **kw)
+    parts = [DataLoader(ds, num_processes=4, process_index=i, **kw)
+             for i in range(4)]
+    for full, *locs in zip(single, *parts):
+        for m in DIMS:
+            np.testing.assert_array_equal(
+                np.concatenate([np.asarray(b.masks[m]) for b in locs]),
+                np.asarray(full.masks[m]))
+
+
+def test_fsdp_state_sharding_odd_leaves():
+    """fsdp_state_sharding: divisible large float leaves shard on the data
+    axis; odd-shaped / small / integer leaves replicate."""
+    import jax.numpy as jnp
+
+    from multivae_tpu.parallel.mesh import (DATA_AXIS, fsdp_state_sharding,
+                                            get_data_mesh)
+
+    mesh = get_data_mesh(8)
+    state = {
+        "w_shardable": jnp.zeros((16, 128)),      # 16 % 8 == 0, big enough
+        "w_odd": jnp.zeros((15, 128)),            # leading dim not divisible
+        "w_small": jnp.zeros((8, 4)),             # < min_size
+        "steps": jnp.zeros((16, 128), jnp.int32),  # integer -> replicated
+        "scalar": jnp.zeros(()),
+        "none": None,
+    }
+    specs = fsdp_state_sharding(state, mesh, min_size=1024)
+    assert specs["w_shardable"].spec == jax.sharding.PartitionSpec(DATA_AXIS)
+    for key in ("w_odd", "w_small", "steps", "scalar"):
+        assert specs[key].spec == jax.sharding.PartitionSpec(), key
+
+    # the specs are usable: device_put then check the local shard count
+    x = jax.device_put(np.zeros((16, 128), np.float32),
+                       specs["w_shardable"])
+    assert x.sharding.num_devices == 8
+    assert x.addressable_shards[0].data.shape == (2, 128)
