@@ -309,3 +309,22 @@ def test_fsdp_state_sharding_odd_leaves():
                        specs["w_shardable"])
     assert x.sharding.num_devices == 8
     assert x.addressable_shards[0].data.shape == (2, 128)
+
+
+def test_maybe_init_distributed(monkeypatch):
+    """No-op without a coordinator; forwards the rendezvous config when one
+    is given (replaces the reference's env-var NCCL init_process_group,
+    ``base_trainer.py:172-194``)."""
+    from multivae_tpu.parallel.mesh import maybe_init_distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+
+    maybe_init_distributed()  # no coordinator
+    maybe_init_distributed("host:1234", num_processes=1)  # single process
+    assert calls == []
+
+    maybe_init_distributed("host:1234", num_processes=2, process_id=1)
+    assert calls == [{"coordinator_address": "host:1234",
+                      "num_processes": 2, "process_id": 1}]
