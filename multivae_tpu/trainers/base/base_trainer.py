@@ -546,19 +546,85 @@ class BaseTrainer:
         self.training_config.save_json(dir_path, "training_config")
         self.callback_handler.on_save(self.training_config, dir_path=dir_path)
 
+    # ------------------------------------------------- orbax (sharded) state
+    @staticmethod
+    def _state_to_savable(state: TrainState) -> dict:
+        """TrainState as an orbax-friendly pytree (typed PRNG keys become
+        their uint32 key data; orbax does not serialize extended dtypes)."""
+        return {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "rng_data": jax.random.key_data(state.rng),
+            "step": state.step,
+        }
+
+    def _orbax_save_state(self, checkpoint_dir: str):
+        """Sharded TrainState save: every host writes its own shards (no
+        host gather — the multi-host/fsdp-scale path the reference's
+        torch.save checkpointing has no equivalent for)."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            os.path.abspath(os.path.join(checkpoint_dir, "train_state")),
+            self._state_to_savable(self.state),
+        )
+        ckptr.wait_until_finished()
+
+    def _orbax_restore_state(self, checkpoint_dir: str):
+        """Restore the TrainState directly into the trainer's target
+        shardings (replicated, or the ZeRO specs when fsdp): each device
+        reads its own shards, no host-side round-trip."""
+        import orbax.checkpoint as ocp
+
+        rep = replicated_sharding(self.mesh)
+        state_sh = self._state_sharding(rep)
+        savable = self._state_to_savable(self.state)
+        if isinstance(state_sh, TrainState):
+            sharding_tree = {
+                "params": state_sh.params,
+                "opt_state": state_sh.opt_state,
+                "rng_data": rep,
+                "step": rep,
+            }
+        else:  # one sharding for the whole state (replicated)
+            sharding_tree = jax.tree.map(lambda _: state_sh, savable)
+
+        abstract = jax.tree.map(
+            lambda a, sh: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh),
+            savable, sharding_tree,
+        )
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(os.path.join(checkpoint_dir, "train_state")),
+            abstract,
+        )
+        return TrainState(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            rng=jax.random.wrap_key_data(restored["rng_data"]),
+            step=restored["step"],
+        )
+
     def save_checkpoint(self, dir_path: str, epoch: int):
         """Checkpoint = best model + optimizer/scheduler + loop counters.
 
-        Reference layout ``base_trainer.py:728-775``.
+        Reference layout ``base_trainer.py:728-775``. With
+        ``checkpoint_backend="orbax"`` the full TrainState (params +
+        optimizer moments + rng + step) is additionally saved sharded.
         """
         checkpoint_dir = os.path.join(dir_path, f"checkpoint_epoch_{epoch}")
         os.makedirs(checkpoint_dir, exist_ok=True)
 
-        opt_state_dict = serialization.to_state_dict(
-            jax.tree.map(np.asarray, self.state.opt_state)
-        )
-        with open(os.path.join(checkpoint_dir, "optimizer.msgpack"), "wb") as f:
-            f.write(serialization.msgpack_serialize(opt_state_dict))
+        if self.training_config.checkpoint_backend == "orbax":
+            self._orbax_save_state(checkpoint_dir)
+        else:
+            opt_state_dict = serialization.to_state_dict(
+                jax.tree.map(np.asarray, self.state.opt_state)
+            )
+            with open(os.path.join(checkpoint_dir, "optimizer.msgpack"),
+                      "wb") as f:
+                f.write(serialization.msgpack_serialize(opt_state_dict))
 
         if self.scheduler is not None:
             with open(os.path.join(checkpoint_dir, "scheduler.json"), "w") as f:
@@ -591,6 +657,20 @@ class BaseTrainer:
         self.trained_epochs = info["trained_epochs"]
         self.best_train_loss = info["best_train_loss"]
         self.best_eval_loss = info["best_eval_loss"]
+
+        if os.path.isdir(os.path.join(checkpoint_dir, "train_state")):
+            # orbax backend: restore the exact (possibly sharded) live
+            # TrainState; the best-model snapshot stays in the msgpack
+            # model files alongside.
+            self.state = self._orbax_restore_state(checkpoint_dir)
+            self.model.params = self.state.params
+            best = type(self.model)._load_params(checkpoint_dir)
+            self._best_params = jax.tree.map(jnp.asarray, best)
+            sch_path = os.path.join(checkpoint_dir, "scheduler.json")
+            if self.scheduler is not None and os.path.exists(sch_path):
+                with open(sch_path) as f:
+                    self.scheduler.load_state_dict(json.load(f))
+            return
 
         params = type(self.model)._load_params(checkpoint_dir)
         params = jax.tree.map(jnp.asarray, params)

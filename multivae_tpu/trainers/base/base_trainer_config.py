@@ -53,6 +53,10 @@ class BaseTrainerConfig(BaseConfig):
             TPU-native speed/memory option, off by default.
         coordinator_address / num_processes / process_id: jax.distributed
             multi-host setup (replaces DDP env rendezvous).
+        checkpoint_backend: "msgpack" (default, host-side, reference-layout
+            files) or "orbax" (sharded TrainState checkpointing: each
+            host/device writes its own shards — no host gather, works with
+            fsdp and multi-host; TPU-native extension).
     """
 
     output_dir: Optional[str] = None
@@ -75,10 +79,17 @@ class BaseTrainerConfig(BaseConfig):
     coordinator_address: Union[str, None] = None
     num_processes: Union[int, None] = None
     process_id: Union[int, None] = None
+    checkpoint_backend: str = "msgpack"
 
     def __post_init__(self):
         if hasattr(super(), "__post_init__"):
             super().__post_init__()
+
+        if self.checkpoint_backend not in ("msgpack", "orbax"):
+            raise AttributeError(
+                "checkpoint_backend must be 'msgpack' or 'orbax', got "
+                f"{self.checkpoint_backend!r}."
+            )
 
         # Multi-host settings from the environment (reference reads
         # LOCAL_RANK/WORLD_SIZE/RANK/MASTER_ADDR/MASTER_PORT).
