@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 logger = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def maybe_init_distributed(coordinator_address: Optional[str] = None,
@@ -51,23 +52,73 @@ def maybe_init_distributed(coordinator_address: Optional[str] = None,
     )
 
 
-def get_data_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
-    """A 1-D mesh over (up to) all visible devices, axis name "data"."""
+def get_data_mesh(n_devices: Optional[int] = None, devices=None,
+                  n_model_devices: int = 1) -> Mesh:
+    """A device mesh with axis "data" (batch parallel), optionally 2-D with
+    a trailing "model" axis for tensor parallelism.
+
+    ``n_devices`` counts the data axis; the total devices used is
+    ``n_devices * n_model_devices``. Adjacent devices land on the model
+    axis so tensor-parallel collectives ride the fastest links
+    (scaling-book layout recipe).
+    """
     if devices is None:
         devices = jax.devices()
-    if n_devices is not None:
-        if n_devices > len(devices):
+    total = None if n_devices is None else n_devices * n_model_devices
+    if total is not None:
+        if total > len(devices):
             raise ValueError(
-                f"Requested {n_devices} devices but only {len(devices)} are "
+                f"Requested {total} devices but only {len(devices)} are "
                 "visible."
             )
-        devices = devices[:n_devices]
+        devices = devices[:total]
+    if n_model_devices > 1:
+        if len(devices) % n_model_devices:
+            raise ValueError(
+                f"{len(devices)} devices do not factor over "
+                f"n_model_devices={n_model_devices}."
+            )
+        grid = np.asarray(devices).reshape(-1, n_model_devices)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
+    """Shard the leading (batch) axis over the data axis (replicated over
+    the model axis when present)."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def tp_state_sharding(state, mesh: Mesh, min_dim: int = 64):
+    """Tensor-parallel sharding spec for a train-state pytree.
+
+    Megatron-style column sharding expressed declaratively: any float leaf
+    with ndim >= 1 whose LAST axis divides the mesh's model axis (and is at
+    least ``min_dim`` wide) is sharded on that axis — dense kernels
+    (in, out) split their output features, their biases (out,) follow, and
+    the mirrored Adam moments inherit the same specs by shape. Everything
+    else is replicated over "model". XLA's SPMD propagation inserts the
+    activation collectives; no model-code changes are needed (the
+    scaling-book recipe: annotate params, let the compiler place
+    all-gathers/reduce-scatters). Composes with the "data" axis: batch
+    stays sharded on "data", parameters are replicated over "data" unless
+    combined with ``fsdp_state_sharding``.
+    """
+    if MODEL_AXIS not in mesh.axis_names:
+        raise ValueError("tp_state_sharding needs a mesh with a "
+                         f"'{MODEL_AXIS}' axis; got {mesh.axis_names}.")
+    n = mesh.shape[MODEL_AXIS]
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        if (len(shape) >= 1 and shape[-1] % n == 0 and shape[-1] >= min_dim
+                and jnp.issubdtype(
+                    getattr(x, "dtype", jnp.float32), jnp.floating)):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1) + [MODEL_AXIS])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, state)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -84,9 +135,11 @@ def fsdp_state_sharding(state, mesh: Mesh, min_size: int = 1024):
     reduce-scatters the matching gradients: the compiler does what
     DeepSpeed/FSDP do by hand (scaling-book recipe; the reference has
     only DDP, ``base_trainer.py:117-118``, so this is a TPU-native
-    extension, not a parity item).
+    extension, not a parity item). On a 2-D (data, model) mesh only the
+    data axis is used here; compose with ``tp_state_sharding`` for the
+    model axis.
     """
-    n = mesh.size
+    n = mesh.shape[DATA_AXIS]
 
     def spec(x):
         shape = getattr(x, "shape", ())
@@ -96,6 +149,38 @@ def fsdp_state_sharding(state, mesh: Mesh, min_size: int = 1024):
                     getattr(x, "dtype", jnp.float32), jnp.floating)):
             return NamedSharding(mesh, P(DATA_AXIS))
         return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, state)
+
+
+def combined_state_sharding(state, mesh: Mesh, fsdp: bool = False,
+                            min_size: int = 1024, min_dim: int = 64):
+    """Compose ZeRO (leading axis over "data") and tensor-parallel
+    (trailing axis over "model") sharding for one train-state pytree.
+
+    Either half applies only where its axis exists in the mesh / the flag
+    is set; a 1-D leaf takes at most one of the two. See
+    ``fsdp_state_sharding`` / ``tp_state_sharding`` for the per-axis rules.
+    """
+    data_n = mesh.shape[DATA_AXIS]
+    tp = MODEL_AXIS in mesh.axis_names
+    model_n = mesh.shape[MODEL_AXIS] if tp else 1
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        if not (len(shape) >= 1 and jnp.issubdtype(
+                getattr(x, "dtype", jnp.float32), jnp.floating)):
+            return NamedSharding(mesh, P())
+        dims = [None] * len(shape)
+        if (fsdp and shape[0] % data_n == 0
+                and int(np.prod(shape)) >= min_size):
+            dims[0] = DATA_AXIS
+        if (tp and shape[-1] % model_n == 0 and shape[-1] >= min_dim
+                and dims[-1] is None):
+            dims[-1] = MODEL_AXIS
+        if all(d is None for d in dims):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*dims))
 
     return jax.tree.map(spec, state)
 

@@ -114,8 +114,11 @@ class BaseTrainer:
             training_config.num_processes,
             training_config.process_id,
         )
-        self.mesh = get_data_mesh(training_config.n_devices)
-        self.n_data_devices = self.mesh.size
+        self.mesh = get_data_mesh(
+            training_config.n_devices,
+            n_model_devices=training_config.n_model_devices,
+        )
+        self.n_data_devices = self.mesh.shape["data"]
         self.is_main_process = jax.process_index() == 0
 
         set_seed(training_config.seed)
@@ -283,19 +286,23 @@ class BaseTrainer:
         return self._train_step_fn
 
     def _state_sharding(self, rep):
-        """TrainState sharding: replicated, or ZeRO-style when fsdp."""
-        if not self.training_config.fsdp:
+        """TrainState sharding: replicated, ZeRO-style when fsdp, and/or
+        tensor-parallel over the model axis when n_model_devices > 1."""
+        cfg = self.training_config
+        if not cfg.fsdp and cfg.n_model_devices <= 1:
             return rep
-        from ...parallel.mesh import fsdp_state_sharding
+        from ...parallel.mesh import combined_state_sharding
 
-        return fsdp_state_sharding(self.state, self.mesh)
+        return combined_state_sharding(self.state, self.mesh, fsdp=cfg.fsdp)
 
     def _params_sharding(self, rep):
-        if not self.training_config.fsdp:
+        cfg = self.training_config
+        if not cfg.fsdp and cfg.n_model_devices <= 1:
             return rep
-        from ...parallel.mesh import fsdp_state_sharding
+        from ...parallel.mesh import combined_state_sharding
 
-        return fsdp_state_sharding(self.state.params, self.mesh)
+        return combined_state_sharding(self.state.params, self.mesh,
+                                       fsdp=cfg.fsdp)
 
     def _compiled_eval_step(self):
         if self._eval_step_fn is not None:

@@ -48,6 +48,11 @@ class BaseTrainerConfig(BaseConfig):
         fsdp: shard parameters and optimizer state over the data mesh
             (ZeRO-style; XLA inserts gathers/reduce-scatters). TPU-native
             extension beyond the reference's DDP.
+        n_model_devices: tensor parallelism degree. Devices form a 2-D
+            (data, model) mesh; dense kernels/biases (and their optimizer
+            moments) shard their output-feature axis over "model"
+            (Megatron-style columns), XLA propagates the activation
+            collectives. Composes with fsdp. TPU-native extension.
         mixed_precision: run the compiled loss in bfloat16 (fp32 master
             weights and optimizer state; grads are cast back to fp32).
             TPU-native speed/memory option, off by default.
@@ -76,6 +81,7 @@ class BaseTrainerConfig(BaseConfig):
     n_devices: Union[int, None] = None
     mixed_precision: bool = False
     fsdp: bool = False
+    n_model_devices: int = 1
     coordinator_address: Union[str, None] = None
     num_processes: Union[int, None] = None
     process_id: Union[int, None] = None

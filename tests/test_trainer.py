@@ -312,3 +312,107 @@ def test_orbax_checkpoint_with_fsdp_sharded_state(dataset, tmp_path):
 def test_checkpoint_backend_validation():
     with pytest.raises(AttributeError):
         BaseTrainerConfig(checkpoint_backend="pickle")
+
+
+# -------------------------------------------------------- tensor parallelism
+def test_tp_loss_matches_single_device(dataset, tmp_path):
+    """Tensor-parallel (model-axis) training: loss identical to the
+    single-device run on the same batch — XLA inserts the activation
+    collectives from the parameter shardings alone."""
+    cfg_model = MVTCAEConfig(
+        n_modalities=2, latent_dim=4,
+        input_dims={"mod1": (2,), "mod2": (3,)},
+    )
+    m1 = MVTCAE(cfg_model, seed=5)
+    mtp = MVTCAE(cfg_model, seed=5)
+
+    t1 = BaseTrainer(m1, dataset, training_config=small_config(
+        tmp_path, n_devices=1, per_device_train_batch_size=16, seed=11))
+    ttp = BaseTrainer(mtp, dataset, training_config=small_config(
+        tmp_path, n_devices=1, n_model_devices=8,
+        per_device_train_batch_size=16, seed=11))
+    assert ttp.mesh.axis_names == ("data", "model")
+    assert ttp.n_data_devices == 1
+
+    l1, _ = t1.train_step(1)
+    ltp, _ = ttp.train_step(1)
+    assert l1 == pytest.approx(ltp, rel=1e-4)
+
+    # the wide dense kernels are actually column-sharded over "model"
+    from jax.sharding import PartitionSpec as P
+
+    sharded = [
+        x for x in jax.tree_util.tree_leaves(ttp.state.params)
+        if getattr(x.sharding, "spec", None) == P(None, "model")
+    ]
+    assert sharded, "expected model-axis-sharded dense kernels"
+
+
+def test_tp_with_dp_2d_mesh(dataset, tmp_path):
+    """2-D (data=4, model=2) mesh: DP batch sharding + TP column sharding
+    in one step; loss matches the single-device run."""
+    cfg_model = MVTCAEConfig(
+        n_modalities=2, latent_dim=4,
+        input_dims={"mod1": (2,), "mod2": (3,)},
+    )
+    m1 = MVTCAE(cfg_model, seed=6)
+    m2d = MVTCAE(cfg_model, seed=6)
+
+    t1 = BaseTrainer(m1, dataset, training_config=small_config(
+        tmp_path, n_devices=1, per_device_train_batch_size=16, seed=12))
+    t2d = BaseTrainer(m2d, dataset, training_config=small_config(
+        tmp_path, n_devices=4, n_model_devices=2,
+        per_device_train_batch_size=4, seed=12))
+    assert dict(t2d.mesh.shape) == {"data": 4, "model": 2}
+    # global batch = per_device * n_data_devices (model axis replicates data)
+    assert t2d.train_loader.batch_size == 16
+
+    l1, _ = t1.train_step(1)
+    l2d, _ = t2d.train_step(1)
+    assert l1 == pytest.approx(l2d, rel=1e-4)
+    l2, _ = t2d.train_step(2)
+    assert np.isfinite(l2)
+
+
+def test_tp_composes_with_fsdp(dataset, tmp_path):
+    """fsdp + n_model_devices: leading axes shard on 'data', trailing on
+    'model' where divisible."""
+    cfg_model = MVTCAEConfig(
+        n_modalities=2, latent_dim=8,
+        input_dims={"mod1": (2,), "mod2": (3,)},
+    )
+    m = MVTCAE(cfg_model, seed=7)
+    t = BaseTrainer(m, dataset, training_config=small_config(
+        tmp_path, n_devices=2, n_model_devices=2, fsdp=True,
+        per_device_train_batch_size=8, seed=13))
+    l, _ = t.train_step(1)
+    assert np.isfinite(l)
+
+    from jax.sharding import PartitionSpec as P
+
+    specs = {tuple(getattr(x.sharding, "spec", P()))
+             for x in jax.tree_util.tree_leaves(t.state.params)}
+    assert (("data", "model") in specs or ("data", None) in specs), specs
+
+
+def test_combined_state_sharding_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from multivae_tpu.parallel.mesh import (combined_state_sharding,
+                                            get_data_mesh)
+    import jax.numpy as jnp
+
+    mesh = get_data_mesh(4, n_model_devices=2)
+    state = {
+        "kernel": jnp.zeros((512, 128)),   # fsdp dim0 + tp dim-1
+        "bias": jnp.zeros((128,)),         # tp dim-1 only (dim0 == dim-1)
+        "odd": jnp.zeros((7, 65)),         # nothing divides
+        "narrow": jnp.zeros((8, 4)),       # too small/narrow
+        "ints": jnp.zeros((512, 128), jnp.int32),
+    }
+    specs = combined_state_sharding(state, mesh, fsdp=True)
+    assert specs["kernel"].spec == P("data", "model")
+    assert specs["bias"].spec == P("model")
+    assert specs["odd"].spec == P()
+    assert specs["narrow"].spec == P()
+    assert specs["ints"].spec == P()
