@@ -50,6 +50,12 @@ trainer_config = BaseTrainerConfig(
                    if "JAX_NUM_PROCESSES" in os.environ else None),
     process_id=(int(os.environ["JAX_PROCESS_ID"])
                 if "JAX_PROCESS_ID" in os.environ else None),
+    # Optional extensions beyond DDP parity:
+    #   fsdp=True              -> ZeRO-shard params/optimizer over "data"
+    #   n_model_devices=2      -> 2-D (data, model) mesh, Megatron-style
+    #                             column sharding of the dense kernels
+    #   checkpoint_backend="orbax" -> sharded TrainState checkpoints
+    #                             (exact-trajectory resume, no host gather)
 )
 
 trainer = BaseTrainer(model, train_data, eval_dataset=eval_data,
