@@ -1,5 +1,6 @@
 from .mesh import (
     batch_sharding,
+    combined_state_sharding,
     fsdp_state_sharding,
     get_data_mesh,
     maybe_init_distributed,
@@ -10,6 +11,7 @@ from .mesh import (
 
 __all__ = [
     "batch_sharding",
+    "combined_state_sharding",
     "fsdp_state_sharding",
     "get_data_mesh",
     "maybe_init_distributed",

@@ -107,18 +107,7 @@ def tp_state_sharding(state, mesh: Mesh, min_dim: int = 64):
     if MODEL_AXIS not in mesh.axis_names:
         raise ValueError("tp_state_sharding needs a mesh with a "
                          f"'{MODEL_AXIS}' axis; got {mesh.axis_names}.")
-    n = mesh.shape[MODEL_AXIS]
-
-    def spec(x):
-        shape = getattr(x, "shape", ())
-        if (len(shape) >= 1 and shape[-1] % n == 0 and shape[-1] >= min_dim
-                and jnp.issubdtype(
-                    getattr(x, "dtype", jnp.float32), jnp.floating)):
-            return NamedSharding(
-                mesh, P(*([None] * (len(shape) - 1) + [MODEL_AXIS])))
-        return NamedSharding(mesh, P())
-
-    return jax.tree.map(spec, state)
+    return combined_state_sharding(state, mesh, fsdp=False, min_dim=min_dim)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -499,12 +499,17 @@ class BaseTrainer:
             self.callback_handler.on_epoch_end(self.training_config)
 
             if (self.training_config.steps_saving is not None
-                    and epoch % self.training_config.steps_saving == 0
-                    and self.is_main_process):
+                    and epoch % self.training_config.steps_saving == 0):
+                # ALL processes enter: the orbax sharded-state save is a
+                # collective (each process writes its addressable shards
+                # and joins a barrier); host-side artifacts inside are
+                # main-process-gated.
                 self.save_checkpoint(dir_path=self.training_dir, epoch=epoch)
-                logger.info("Saved checkpoint at epoch %s\n", epoch)
-                if file_logger:
-                    file_logger.info(f"Saved checkpoint at epoch {epoch}\n")
+                if self.is_main_process:
+                    logger.info("Saved checkpoint at epoch %s\n", epoch)
+                    if file_logger:
+                        file_logger.info(
+                            f"Saved checkpoint at epoch {epoch}\n")
 
             self.callback_handler.on_log(
                 self.training_config, metrics, logger=logger, global_step=epoch,
@@ -624,14 +629,19 @@ class BaseTrainer:
         os.makedirs(checkpoint_dir, exist_ok=True)
 
         if self.training_config.checkpoint_backend == "orbax":
+            # collective: EVERY process participates (writes its
+            # addressable shards and joins orbax's barrier)
             self._orbax_save_state(checkpoint_dir)
-        else:
+        elif self.is_main_process:
             opt_state_dict = serialization.to_state_dict(
                 jax.tree.map(np.asarray, self.state.opt_state)
             )
             with open(os.path.join(checkpoint_dir, "optimizer.msgpack"),
                       "wb") as f:
                 f.write(serialization.msgpack_serialize(opt_state_dict))
+
+        if not self.is_main_process:
+            return  # remaining artifacts are host-side, main process only
 
         if self.scheduler is not None:
             with open(os.path.join(checkpoint_dir, "scheduler.json"), "w") as f:

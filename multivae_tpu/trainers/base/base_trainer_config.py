@@ -97,6 +97,12 @@ class BaseTrainerConfig(BaseConfig):
                 f"{self.checkpoint_backend!r}."
             )
 
+        if self.n_model_devices < 1:
+            raise AttributeError(
+                "n_model_devices must be a positive integer, got "
+                f"{self.n_model_devices}."
+            )
+
         # Multi-host settings from the environment (reference reads
         # LOCAL_RANK/WORLD_SIZE/RANK/MASTER_ADDR/MASTER_PORT).
         env_coord = os.environ.get("JAX_COORDINATOR_ADDRESS")

@@ -416,3 +416,10 @@ def test_combined_state_sharding_rules():
     assert specs["odd"].spec == P()
     assert specs["narrow"].spec == P()
     assert specs["ints"].spec == P()
+
+
+def test_n_model_devices_validation():
+    with pytest.raises(AttributeError):
+        BaseTrainerConfig(n_model_devices=0)
+    with pytest.raises(AttributeError):
+        BaseTrainerConfig(n_model_devices=-2)
