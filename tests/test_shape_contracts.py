@@ -269,3 +269,24 @@ def test_cvae_contracts():
                 assert out.z.shape == want, (N, flatten, return_mean,
                                              out.z.shape)
                 assert np.isfinite(np.asarray(out.z)).all()
+
+
+@pytest.mark.parametrize("name", list(FACTORIES))
+def test_encode_refuses_partially_missing_conditioning(name):
+    """encode must refuse conditioning on a modality with missing samples
+    unless ignore_incomplete=True (reference ``base_ae_model.py:205-219``).
+    mod1 is half-missing in the incomplete fixture; mod2 is complete."""
+    model = FACTORIES[name]("default")
+    ds = make_dataset("incomplete", n=N_DATA, seed=21)
+    if name in ("jmvae", "telbo", "jnf"):
+        # joint-encoder family: refuses incomplete datasets outright
+        # (reference joint_model behavior — not partial-compatible)
+        with pytest.raises(AttributeError, match="not compatible"):
+            model.encode(ds[:], cond_mod="mod1")
+        return
+    with pytest.raises(AttributeError, match="not\\s+available"):
+        model.encode(ds[:], cond_mod="mod1")
+    out = model.encode(ds[:], cond_mod="mod1", ignore_incomplete=True)
+    assert out.z.shape == (N_DATA, LATENT)
+    out = model.encode(ds[:], cond_mod="mod2")
+    assert out.z.shape == (N_DATA, LATENT)
