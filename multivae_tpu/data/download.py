@@ -38,12 +38,28 @@ def extract_archive(archive_path: str, dest_dir: str):
     raise ValueError(f"Unsupported archive format: {archive_path}")
 
 
+def sha256_of(path: str, chunk: int = 1 << 20) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(chunk)
+            if not block:
+                break
+            h.update(block)
+    return h.hexdigest()
+
+
 def fetch_and_extract(url: str, dest_dir: str, archive_name: str = None,
-                      keep_archive: bool = False) -> str:
+                      keep_archive: bool = False,
+                      sha256: str = None) -> str:
     """Download an archive to dest_dir and extract it there.
 
     Returns dest_dir. Raises URLError/HTTPError on network failure with the
-    manual-download URL in the message.
+    manual-download URL in the message. Pass ``sha256`` to verify the
+    archive before extraction (recommended for the plain-http CUB mirror);
+    a mismatching file is deleted and the error names both digests.
     """
     import urllib.request
 
@@ -59,6 +75,15 @@ def fetch_and_extract(url: str, dest_dir: str, archive_name: str = None,
                 f"Download failed ({e}). Download manually from {url} and "
                 f"extract into {dest_dir}."
             ) from e
+    if sha256 is not None:
+        digest = sha256_of(archive_path)
+        if digest != sha256.lower():
+            os.remove(archive_path)
+            raise RuntimeError(
+                f"Checksum mismatch for {archive_path}: expected {sha256}, "
+                f"got {digest}. The corrupt file was deleted; retry the "
+                "download."
+            )
     logger.info("Extracting %s", archive_path)
     extract_archive(archive_path, dest_dir)
     if not keep_archive:

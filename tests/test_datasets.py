@@ -355,3 +355,26 @@ def test_download_extract_local_zip(tmp_path, monkeypatch):
     monkeypatch.setattr(urllib.request, "urlretrieve", broken)
     with pytest.raises(RuntimeError, match="Download manually"):
         dl.fetch_and_extract("http://example.com/x.zip", str(tmp_path / "y"))
+
+
+def test_fetch_and_extract_checksum(tmp_path):
+    """sha256 verification: a matching digest extracts, a mismatch deletes
+    the archive and raises with both digests."""
+    import zipfile
+
+    from multivae_tpu.data.download import fetch_and_extract, sha256_of
+
+    src = tmp_path / "payload.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("inner.txt", "hello")
+    url = src.as_uri()
+
+    good = sha256_of(str(src))
+    out = tmp_path / "ok"
+    fetch_and_extract(url, str(out), sha256=good.upper())  # case-insensitive
+    assert (out / "inner.txt").read_text() == "hello"
+
+    bad_dir = tmp_path / "bad"
+    with pytest.raises(RuntimeError, match="Checksum mismatch"):
+        fetch_and_extract(url, str(bad_dir), sha256="0" * 64)
+    assert not (bad_dir / "payload.zip").exists()  # corrupt file removed
