@@ -50,7 +50,7 @@ def _mfu_fields(prefix: str, flops_per_step, step_seconds) -> dict:
     }
 
 
-def bench_jax():
+def bench_jax(mixed_precision=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -76,15 +76,24 @@ def bench_jax():
         rng=jax.random.key(0), step=jnp.asarray(0, jnp.int32),
     )
 
+    if mixed_precision:
+        from multivae_tpu.trainers.base.base_trainer import _to_bf16
+
     def one_step(state, batch, info):
         rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(params):
-            out = model.loss_function(params, batch, rng, info)
+            if mixed_precision:
+                params, b = _to_bf16(params), _to_bf16(batch)
+            else:
+                b = batch
+            out = model.loss_function(params, b, rng, info)
             return out["loss"], out["loss_sum"]
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
+        if mixed_precision:
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(params=params, opt_state=opt_state,
@@ -438,6 +447,7 @@ def bench_mopoe(n_steps=15):
 
 def main():
     jax_sps, mlp_flops = bench_jax()
+    jax_sps_bf16, mlp_flops_bf16 = bench_jax(mixed_precision=True)
     torch_sps = bench_torch_reference_style()
     nll_jax_s = bench_nll_jax()
     nll_torch_s = bench_nll_torch()
@@ -449,6 +459,7 @@ def main():
         "value": round(jax_sps, 3),
         "unit": "steps/s (batch=256, latent=512, MLP-512, 2 modalities)",
         "vs_baseline": round(jax_sps / torch_sps, 3),
+        "mvtcae_mlp_bf16_steps_per_sec": round(jax_sps_bf16, 3),
         "nll_k1000_512pts_seconds": round(nll_jax_s, 3),
         "nll_k1000_vs_torch_cpu": round(nll_torch_s / nll_jax_s, 2),
         "mmvae_dreg_bf16_step_ms": round(mmvae_s * 1000, 2),
@@ -457,6 +468,8 @@ def main():
         "peak_tflops_bf16": PEAK_TFLOPS_BF16,
     }
     out.update(_mfu_fields("mvtcae_mlp_fp32", mlp_flops, 1.0 / jax_sps))
+    out.update(_mfu_fields("mvtcae_mlp_bf16", mlp_flops_bf16,
+                           1.0 / jax_sps_bf16))
     out.update(_mfu_fields("mmvae_dreg_bf16", mmvae_flops, mmvae_s))
     out.update(_mfu_fields("mopoe_fp32", mopoe_flops, mopoe_s))
     out.update(_mfu_fields("mvtcae_conv_fp32", conv_flops, conv_s))

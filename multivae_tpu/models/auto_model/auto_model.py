@@ -52,7 +52,7 @@ class AutoModel:
 
     @classmethod
     def load_from_hf_hub(cls, hf_hub_path: str,
-                         allow_pickle: bool = False):  # pragma: no cover
+                         allow_pickle: bool = False):
         """Reload any model from the Hugging Face hub
         (reference ``auto_model.py:116-232``)."""
         import tempfile

@@ -161,7 +161,7 @@ using the method `load_from_hf_hub`
 
         return importlib.util.find_spec("huggingface_hub") is not None
 
-    def push_to_hf_hub(self, hf_hub_path: str):  # pragma: no cover
+    def push_to_hf_hub(self, hf_hub_path: str):
         """Save the model directly to the Hugging Face hub.
 
         Reference: ``base_model.py:213-299``. Requires the optional
@@ -222,7 +222,7 @@ using the method `load_from_hf_hub`
 
     @classmethod
     def load_from_hf_hub(cls, hf_hub_path: str,
-                         allow_pickle: bool = False):  # pragma: no cover
+                         allow_pickle: bool = False):
         """Load a pretrained model from the Hugging Face hub.
 
         Reference: ``base_model.py:301-375``.
