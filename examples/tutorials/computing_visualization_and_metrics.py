@@ -16,6 +16,7 @@ import numpy as np
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..", "..")))
 
+# %% 1. Train a tiny model on 3-class structured data.
 import jax.numpy as jnp
 
 from multivae_tpu.data import MultimodalBaseDataset
@@ -51,7 +52,7 @@ BaseTrainer(model, test_data, training_config=BaseTrainerConfig(
     learning_rate=1e-3)).train()
 
 
-# 1. Coherences: classifiers are plain callables -> logits.
+# %% 2. Coherences: classifiers are plain callables -> logits.
 def nearest_center(c):
     c = jnp.asarray(c, jnp.float32)
 
@@ -73,7 +74,7 @@ print("coherence metrics:", {k: round(float(v), 3)
                              for k, v in coh.eval().items()})
 coh.finish()
 
-# 2. Joint likelihood (K-sample IWAE estimate).
+# %% 3. Joint likelihood (K-sample IWAE estimate).
 lik = LikelihoodsEvaluator(
     model, test_data, output=out_dir,
     eval_config=LikelihoodsEvaluatorConfig(batch_size=128, K=50,
@@ -81,7 +82,7 @@ lik = LikelihoodsEvaluator(
 print("joint NLL:", round(float(lik.eval()["joint_likelihood"]), 3))
 lik.finish()
 
-# 3. Reconstruction quality (MSE here; SSIM for image modalities).
+# %% 4. Reconstruction quality (MSE here; SSIM for image modalities).
 rec = Reconstruction(model, test_data, output=out_dir,
                      eval_config=ReconstructionConfig(batch_size=128,
                                                       metric="MSE"))
@@ -89,7 +90,7 @@ print("reconstruction:", {k: round(float(v), 4)
                           for k, v in rec.eval().items()})
 rec.finish()
 
-# 4. Sample grids (PIL images written under output dir).
+# %% 5. Sample grids (PIL images written under output dir).
 viz = Visualization(model, test_data, output=out_dir,
                     eval_config=VisualizationConfig(n_samples=4))
 viz.eval()

@@ -16,6 +16,8 @@ import numpy as np
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..", "..")))
 
+# %% 1. An incomplete dataset carries a boolean mask per modality.
+# 40% of 'audio' samples are missing (missing-at-random).
 from multivae_tpu.data import IncompleteDataset
 from multivae_tpu.models import MVAE, MVAEConfig
 from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
@@ -23,7 +25,6 @@ from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
 rng = np.random.default_rng(0)
 N = 256
 
-# 40% of 'audio' samples are missing (missing-at-random).
 masks = {
     "image": np.ones(N, dtype=bool),
     "audio": rng.uniform(size=N) > 0.4,
@@ -36,7 +37,7 @@ train_data = IncompleteDataset(
     masks=masks,
 )
 
-# Models with "partially observed: yes" in the README table accept
+# %% 2. Models with "partially observed: yes" in the README table accept
 # incomplete datasets directly (MVAE, MMVAE, MoPoE, MVTCAE, DMVAE,
 # MMVAE+, Nexus, CMVAE, MHVAE, CRMVAE).
 model = MVAE(MVAEConfig(
@@ -55,7 +56,7 @@ trainer = BaseTrainer(model, train_data, training_config=BaseTrainerConfig(
 ))
 trainer.train()
 
-# Conditioning on the always-present modality works for every sample;
+# %% 3. Conditioning on the always-present modality works for every sample;
 # prediction from a sometimes-missing one simply uses what's observed.
 pred = model.predict(train_data[:8], cond_mod="image", gen_mod="audio")
 print("audio from image:", pred.audio.shape)

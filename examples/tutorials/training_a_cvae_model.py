@@ -15,6 +15,7 @@ import numpy as np
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..", "..")))
 
+# %% 1. A CVAE names one main modality and its conditioning modalities.
 from multivae_tpu.data import MultimodalBaseDataset
 from multivae_tpu.models import CVAE, CVAEConfig
 from multivae_tpu.nn import BaseAEConfig, BaseDictEncoders, MultipleHeadJointEncoder
@@ -38,7 +39,7 @@ config = CVAEConfig(
     beta=1.0,
 )
 
-# Optional: a learnable conditional prior p(z | cond_a, cond_b).
+# %% 2. Optional: a learnable conditional prior p(z | cond_a, cond_b).
 prior_net = MultipleHeadJointEncoder(
     dict_encoders=BaseDictEncoders(
         {"cond_a": DIMS["cond_a"], "cond_b": DIMS["cond_b"]}, LATENT),
@@ -52,7 +53,7 @@ trainer = BaseTrainer(model, train_data, training_config=BaseTrainerConfig(
 ))
 trainer.train()
 
-# Generate the main modality from the conditioning modalities.
+# %% 3. Generate the main modality from the conditioning modalities.
 pred = model.predict(train_data[:8], cond_mod="all")
 print("target generated from conditions:", pred.target.shape)
 

@@ -17,6 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..", "..")))
 
+# %% 1. The user supplies every block of the hierarchy.
 from multivae_tpu.data import MultimodalBaseDataset
 from multivae_tpu.models import MHVAE, MHVAEConfig
 from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
@@ -78,6 +79,7 @@ class OutputDecoder(nn.Module):
             reconstruction=r.reshape(r.shape[0], *self.out_shape))
 
 
+# %% 2. Assemble the hierarchical model from the blocks.
 model = MHVAE(
     MHVAEConfig(n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
                 n_latent=N_LATENT, beta=1.0),
@@ -96,6 +98,7 @@ train_data = MultimodalBaseDataset({
     "m1": rng.uniform(size=(128, 1, 6, 6)).astype(np.float32),
 })
 
+# %% 3. Train and cross-generate.
 trainer = BaseTrainer(model, train_data, training_config=BaseTrainerConfig(
     output_dir="./tutorial_out_mhvae", num_epochs=2,
     per_device_train_batch_size=32, learning_rate=1e-3,

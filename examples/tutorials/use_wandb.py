@@ -16,6 +16,7 @@ import numpy as np
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..", "..")))
 
+# %% 1. A model and a trainer config, as in getting_started.
 from multivae_tpu.data import MultimodalBaseDataset
 from multivae_tpu.models import MVTCAE, MVTCAEConfig
 from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
@@ -38,6 +39,8 @@ trainer_config = BaseTrainerConfig(
     per_device_train_batch_size=64, learning_rate=1e-3,
 )
 
+# %% 2. The WandbCallback is passed to the trainer; evaluators can
+# resume the same run from the saved wandb_info.json.
 callbacks = None
 if wandb_is_available():
     # 1. `pip install wandb && wandb login` (once per machine)

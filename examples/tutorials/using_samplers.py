@@ -15,6 +15,7 @@ import numpy as np
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..", "..")))
 
+# %% 1. Train a small model whose aggregate posterior we will fit.
 from multivae_tpu.data import MultimodalBaseDataset
 from multivae_tpu.models import MVTCAE, MVTCAEConfig
 from multivae_tpu.samplers import GaussianMixtureSampler, MAFSampler
@@ -37,19 +38,19 @@ trainer = BaseTrainer(model, train_data, training_config=BaseTrainerConfig(
 ))
 trainer.train()
 
-# A GMM fitted on the training latents (sklearn full covariance).
+# %% 2. A GMM fitted on the training latents (sklearn full covariance).
 gmm = GaussianMixtureSampler(model)
 gmm.fit(train_data)
 z = gmm.sample(16)
 print("GMM latents:", z.z.shape)
 
-# A masked autoregressive flow fitted on the training latents.
+# %% 3. A masked autoregressive flow fitted on the training latents.
 maf = MAFSampler(model)
 maf.fit(train_data, num_epochs=3, batch_size=64)
 z = maf.sample(16)
 print("MAF latents:", z.z.shape)
 
-# Decode sampler latents into all modalities.
+# %% 4. Decode sampler latents into all modalities.
 out = model.decode(z)
 print("decoded from MAF samples:", {m: v.shape for m, v in out.items()
                                     if hasattr(v, "shape")})

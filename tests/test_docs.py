@@ -43,3 +43,56 @@ def test_api_reference_covers_model_zoo(tmp_path):
                    "MHVAE", "CRMVAE"):
         assert f"### `{family}`" in page, family
         assert f"### `{family}Config`" in page, family
+
+
+def _load_notebook_builder():
+    spec = importlib.util.spec_from_file_location(
+        "build_notebooks",
+        os.path.join(REPO, "scripts", "build_notebooks.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_tutorial_notebooks_are_fresh(tmp_path):
+    """The committed .ipynb tutorials are generated from the (rot-guarded)
+    scripts; regeneration must be a no-op."""
+    builder = _load_notebook_builder()
+    fresh = builder.build(str(tmp_path))
+    assert len(fresh) == 7  # mirrors the reference's 7 tutorial notebooks
+    for p in fresh:
+        committed = os.path.join(REPO, "examples", "tutorial_notebooks",
+                                 os.path.basename(p))
+        assert os.path.exists(committed), (
+            f"{committed} missing — run scripts/build_notebooks.py")
+        assert open(p).read() == open(committed).read(), (
+            f"{committed} stale — rerun scripts/build_notebooks.py")
+
+
+def test_tutorial_notebooks_structure():
+    """Each notebook is valid nbformat-4 JSON with an intro markdown cell,
+    narration cells, and runnable-looking code cells."""
+    import json
+
+    nbdir = os.path.join(REPO, "examples", "tutorial_notebooks")
+    names = sorted(f for f in os.listdir(nbdir) if f.endswith(".ipynb"))
+    ref_names = [
+        "computing_visualization_and_metrics.ipynb",
+        "getting_started.ipynb",
+        "learning_with_partial_data.ipynb",
+        "training_a_CVAE_model.ipynb",
+        "training_a_MHVAE_model.ipynb",
+        "use_wandb.ipynb",
+        "using_samplers.ipynb",
+    ]
+    assert names == ref_names  # same notebook surface as the reference
+    for f in names:
+        nb = json.load(open(os.path.join(nbdir, f)))
+        assert nb["nbformat"] == 4
+        kinds = [c["cell_type"] for c in nb["cells"]]
+        assert kinds[0] == "markdown"
+        assert kinds.count("code") >= 2, f
+        assert kinds.count("markdown") >= 2, f
+        for c in nb["cells"]:
+            if c["cell_type"] == "code":
+                compile("".join(c["source"]), f, "exec")
