@@ -204,7 +204,7 @@ def bench_torch_reference_style():
         loss = total / BATCH
         loss.backward()
         optim.step()
-        return float(loss)
+        return float(loss.detach())
 
     step()  # warmup
     t0 = time.perf_counter()

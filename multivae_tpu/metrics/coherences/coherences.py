@@ -109,8 +109,14 @@ class CoherenceEvaluator(Evaluator):
                     "without labels"
                 )
             valid = np.asarray(batch.weights) > 0
+            # generate ALL modalities (decode is deterministic, so the
+            # pred_mods outputs are identical) and read only pred_mods:
+            # with the shared masked-subset encode this keeps the whole
+            # 2^M-1 subset sweep on ONE encode + ONE decode XLA program
+            # instead of one per subset — compiles dominate eval time on
+            # the TPU tunnel.
             output = self.model.predict(
-                batch, list(subset), pred_mods,
+                batch, list(subset), list(self.model.encoders),
                 N=self.nb_samples_for_cross, flatten=True,
                 ignore_incomplete=True,
             )

@@ -32,8 +32,11 @@ class Reconstruction(Evaluator):
             weights = []
             for batch in self.test_loader:
                 valid = np.asarray(batch.weights) > 0
+                # decode ALL modalities and read the subset: keeps the
+                # whole subset sweep on one decode program (see
+                # docs/PERFORMANCE.md, subset-sweep section)
                 output = self.model.predict(batch, list(subset),
-                                            list(subset),
+                                            list(self.model.encoders),
                                             ignore_incomplete=True)
                 for mod in subset:
                     preds = np.asarray(output[mod])[valid]
@@ -46,8 +49,11 @@ class Reconstruction(Evaluator):
             n_data = 0
             for batch in self.test_loader:
                 valid = np.asarray(batch.weights) > 0
+                # decode ALL modalities and read the subset: keeps the
+                # whole subset sweep on one decode program (see
+                # docs/PERFORMANCE.md, subset-sweep section)
                 output = self.model.predict(batch, list(subset),
-                                            list(subset),
+                                            list(self.model.encoders),
                                             ignore_incomplete=True)
                 for mod in subset:
                     diff2 = (np.asarray(output[mod])[valid]

@@ -341,6 +341,21 @@ class BaseMultiVAE(BaseModel):
         """Model-specific pure encoding; returns {'z': ..., [extras]}."""
         raise NotImplementedError
 
+    # Models whose subset posterior is a pure masked product of experts can
+    # define ``_encode_masked(params, batch, rng, subset, *, N, return_mean,
+    # flatten)`` taking the conditioning subset as a TRACED (M,) indicator
+    # vector: ``encode`` then compiles ONE XLA program shared by all 2^M-1
+    # subsets instead of one per subset — the subset sweep of
+    # CoherenceEvaluator pays a single (tunnel-expensive) TPU compile.
+    _encode_masked = None
+
+    def subset_indicator(self, cond_mod: tuple) -> jnp.ndarray:
+        """(M,) float indicator of ``cond_mod`` in encoder order."""
+        return jnp.asarray(
+            [1.0 if m in cond_mod else 0.0 for m in self.encoders],
+            jnp.float32,
+        )
+
     def encode(self, inputs, cond_mod: Union[list, str] = "all", N: int = 1,
                return_mean: bool = False, flatten: bool = False, rng=None,
                ignore_incomplete: bool = False, **kwargs) -> ModelOutput:
@@ -355,13 +370,29 @@ class BaseMultiVAE(BaseModel):
         self._check_availability(inputs, batch, cond, ignore_incomplete)
         if rng is None:
             rng = self.next_rng()
-        key = ("encode", cond, N, bool(return_mean), bool(flatten))
-        fn = self._jit(
-            key,
-            partial(self._encode_subset, cond_mod=cond, N=N,
-                    return_mean=bool(return_mean), flatten=bool(flatten)),
-        )
-        out = fn(params, batch, rng)
+        # Shared-program path: subset as a traced mask (see _encode_masked).
+        # Falls back to the per-subset program when the inputs don't carry
+        # every modality (the reference allows encoding from a dict holding
+        # only the conditioning modalities).
+        if (self._encode_masked is not None
+                and all(m in batch.data for m in self.encoders)):
+            key = ("encode_masked", N, bool(return_mean), bool(flatten))
+            fn = self._jit(
+                key,
+                partial(self._encode_masked, N=N,
+                        return_mean=bool(return_mean),
+                        flatten=bool(flatten)),
+            )
+            out = fn(params, batch, rng, self.subset_indicator(cond))
+        else:
+            key = ("encode", cond, N, bool(return_mean), bool(flatten))
+            fn = self._jit(
+                key,
+                partial(self._encode_subset, cond_mod=cond, N=N,
+                        return_mean=bool(return_mean),
+                        flatten=bool(flatten)),
+            )
+            out = fn(params, batch, rng)
         result = ModelOutput(
             z=out["z"], one_latent_space=not self.multiple_latent_spaces
         )

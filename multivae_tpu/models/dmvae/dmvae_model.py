@@ -200,6 +200,40 @@ class DMVAE(BaseMultiVAE):
             )
         return {"z": z, "modalities_z": modalities_z}
 
+    def _encode_masked(self, params, batch: MultimodalBatch, rng, subset, *,
+                       N: int, return_mean: bool, flatten: bool) -> dict:
+        """Subset as a traced (M,) indicator: shared PoE with
+        indicator-zeroed precisions; private codes multiply by the
+        indicator (the non-conditioning prior is N(0, I), so
+        ``sel * posterior_params`` IS the posterior-or-prior select). One
+        compiled program serves every conditioning subset (see
+        ``BaseMultiVAE._encode_masked``)."""
+        enc = {m: self.encode_mod(params, m, batch.data[m])
+               for m in self.encoders}
+        mus = jnp.stack([enc[m]["embedding"] for m in self.encoders])
+        lvs = jnp.stack([enc[m]["log_covariance"] for m in self.encoders])
+        mask = jnp.stack([batch.masks[m] for m in self.encoders])
+        mask = mask * subset[:, None]
+        # prior expert joins the product (reference dmvae_model.py:94-141)
+        mus = jnp.concatenate([mus, jnp.zeros_like(mus[:1])])
+        lvs = jnp.concatenate([lvs, jnp.zeros_like(lvs[:1])])
+        mask = jnp.concatenate([mask, jnp.ones_like(mask[:1])])
+        joint_mu, joint_lv = stable_poe(mus, lvs, mask)
+
+        rng, z_rng = jax.random.split(rng)
+        z = rsample_from_gaussian(z_rng, joint_mu, joint_lv, N=N,
+                                  return_mean=return_mean, flatten=flatten)
+        modalities_z = {}
+        mod_rngs = jax.random.split(rng, len(self.encoders))
+        for i, m in enumerate(self.encoders):
+            mu_p = subset[i] * enc[m]["style_embedding"]
+            lv_p = subset[i] * enc[m]["style_log_covariance"]
+            modalities_z[m] = rsample_from_gaussian(
+                mod_rngs[i], mu_p, lv_p, N=N, return_mean=return_mean,
+                flatten=flatten,
+            )
+        return {"z": z, "modalities_z": modalities_z}
+
     def generate_from_prior(self, n_samples: int, rng=None, **kwargs):
         """Prior samples for shared + private spaces
         (reference ``dmvae_model.py:283-309``)."""

@@ -301,6 +301,54 @@ class MoPoE(BaseMultiVAE):
             out["modalities_z"] = modalities_z
         return out
 
+    def subset_indicator(self, cond_mod: tuple):
+        """Host-side validation of the masked-encode path: the subset must
+        be one of the model's configured subsets (reference refuses unknown
+        subsets, ``mopoe_model.py:360-368``)."""
+        key = "_".join(sorted(cond_mod))
+        if key not in self._subset_names:
+            raise AttributeError(
+                f"Subset {key} is not in the model's subsets; cannot encode."
+            )
+        return super().subset_indicator(cond_mod)
+
+    def _encode_masked(self, params, batch: MultimodalBatch, rng, subset, *,
+                       N: int, return_mean: bool, flatten: bool) -> dict:
+        """Subset as a traced (M,) indicator: the matching row of the
+        (S, M) subset matrix is selected by exact-match one-hot einsum, so
+        ONE compiled program serves every conditioning subset. Private
+        codes multiply by the indicator (the prior is N(0, I), so
+        ``sel * posterior_params`` IS the posterior-or-prior select)."""
+        mus_sub, lvs_sub, enc_outputs = self._all_subset_posteriors(
+            params, batch
+        )
+        onehot = jnp.all(self._subset_mask == subset[None, :],
+                         axis=1).astype(mus_sub.dtype)  # (S,)
+        mu = jnp.einsum("s,sbd->bd", onehot, mus_sub)
+        log_var = jnp.einsum("s,sbd->bd", onehot, lvs_sub)
+        if return_mean:
+            # aggregate-posterior-mean quirk for the full subset
+            is_full = subset.sum() == self.n_modalities
+            mu = jnp.where(is_full, mus_sub.mean(0), mu)
+
+        rng, z_rng = jax.random.split(rng)
+        z = rsample_from_gaussian(z_rng, mu, log_var, N=N,
+                                  return_mean=return_mean, flatten=flatten)
+        out = {"z": z}
+
+        if self._multilatent:
+            modalities_z = {}
+            mod_rngs = jax.random.split(rng, len(self.encoders))
+            for i, m in enumerate(self.encoders):
+                mu_s = subset[i] * enc_outputs[m]["style_embedding"]
+                lv_s = subset[i] * enc_outputs[m]["style_log_covariance"]
+                modalities_z[m] = rsample_from_gaussian(
+                    mod_rngs[i], mu_s, lv_s, N=N, return_mean=return_mean,
+                    flatten=flatten,
+                )
+            out["modalities_z"] = modalities_z
+        return out
+
     # ------------------------------------------------------------ joint NLL
     def compute_joint_nll(self, inputs, K: int = 1000,
                           batch_size_K: int = 100, rng=None):

@@ -204,6 +204,19 @@ class MVAE(BaseMultiVAE):
                                   return_mean=return_mean, flatten=flatten)
         return {"z": z}
 
+    def _encode_masked(self, params, batch: MultimodalBatch, rng, subset, *,
+                       N: int, return_mean: bool, flatten: bool) -> dict:
+        """Subset as a traced (M,) indicator row of the PoE (prior expert
+        included): one compiled program serves every conditioning subset
+        (see ``BaseMultiVAE._encode_masked``)."""
+        mus, log_vars, mask = self.stacked_gaussian_params(params, batch)
+        sub_mu, sub_lv = self._subset_posterior_from_stacked(
+            mus, log_vars, mask, subset
+        )
+        z = rsample_from_gaussian(rng, sub_mu, sub_lv, N=N,
+                                  return_mean=return_mean, flatten=flatten)
+        return {"z": z}
+
     # ------------------------------------------------------------ joint NLL
     def compute_joint_nll(self, inputs, K: int = 1000,
                           batch_size_K: int = 100, rng=None):

@@ -120,6 +120,17 @@ class MVTCAE(BaseMultiVAE):
         )
         return {"z": z}
 
+    def _encode_masked(self, params, batch: MultimodalBatch, rng, subset, *,
+                       N: int, return_mean: bool, flatten: bool) -> dict:
+        """Same posterior with the subset as a traced (M,) indicator: one
+        compiled program serves every conditioning subset (excluded experts
+        contribute exactly zero precision, as in the incomplete-data path)."""
+        mus, log_vars, mask = self.stacked_gaussian_params(params, batch)
+        mu, lv = masked_poe(mus, log_vars, mask * subset[:, None])
+        z = rsample_from_gaussian(rng, mu, lv, N=N, return_mean=return_mean,
+                                  flatten=flatten)
+        return {"z": z}
+
     # ------------------------------------------------------------ joint NLL
     def compute_joint_nll(self, inputs, K: int = 1000,
                           batch_size_K: int = 100, rng=None):

@@ -1,0 +1,155 @@
+"""The shared masked-subset encode program (``BaseMultiVAE._encode_masked``):
+
+PoE-family models encode ANY conditioning subset through one compiled XLA
+program taking the subset as a traced (M,) indicator — the 2^M-1 subset
+sweep of CoherenceEvaluator costs a single TPU compile instead of one per
+subset. These tests pin (a) numerical agreement with the per-subset
+reference path, (b) the one-program property, (c) the fallback when the
+inputs don't carry every modality.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from multivae_tpu.data import MultimodalBaseDataset
+from multivae_tpu.data.batch import as_batch
+from multivae_tpu.models import (
+    CRMVAE,
+    CRMVAEConfig,
+    DMVAE,
+    DMVAEConfig,
+    MVAE,
+    MVAEConfig,
+    MVTCAE,
+    MVTCAEConfig,
+)
+
+DIMS = {"m0": (3,), "m1": (4,), "m2": (5,)}
+
+
+def make_models():
+    kw = dict(n_modalities=3, latent_dim=4, input_dims=DIMS)
+    return [
+        MVTCAE(MVTCAEConfig(**kw), seed=0),
+        CRMVAE(CRMVAEConfig(**kw), seed=0),
+        MVAE(MVAEConfig(**kw), seed=0),
+        DMVAE(DMVAEConfig(
+            **kw, modalities_specific_dim={m: 3 for m in DIMS}), seed=0),
+    ]
+
+
+def make_data(n=6):
+    rng = np.random.default_rng(0)
+    return MultimodalBaseDataset(
+        {m: rng.normal(size=(n, *d)).astype(np.float32)
+         for m, d in DIMS.items()})
+
+
+@pytest.mark.parametrize("model", make_models(),
+                         ids=lambda m: type(m).__name__)
+@pytest.mark.parametrize("cond", [("m0",), ("m0", "m2"),
+                                  ("m0", "m1", "m2")])
+def test_masked_path_matches_per_subset_path(model, cond):
+    ds = make_data()
+    batch = as_batch(ds[:])
+    rng = jax.random.key(7)
+
+    out_pub = model.encode(ds[:], cond_mod=list(cond), rng=rng)
+    ref = model._encode_subset(
+        model.params, batch, rng, cond_mod=cond, N=1,
+        return_mean=False, flatten=False)
+    np.testing.assert_allclose(np.asarray(out_pub.z), np.asarray(ref["z"]),
+                               rtol=1e-5, atol=1e-5)
+    if "modalities_z" in ref:
+        for m in ref["modalities_z"]:
+            np.testing.assert_allclose(
+                np.asarray(out_pub.modalities_z[m]),
+                np.asarray(ref["modalities_z"][m]), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("model", make_models(),
+                         ids=lambda m: type(m).__name__)
+def test_one_program_serves_all_subsets(model):
+    ds = make_data()
+    for cond in [["m0"], ["m1"], ["m2"], ["m0", "m1"], ["m1", "m2"], "all"]:
+        model.encode(ds[:], cond_mod=cond)
+    encode_keys = [k for k in model._jit_cache if k[0].startswith("encode")]
+    assert encode_keys == [("encode_masked", 1, False, False)], encode_keys
+
+
+def test_fallback_when_inputs_lack_modalities():
+    model = make_models()[0]
+    rng = np.random.default_rng(1)
+    partial_ds = MultimodalBaseDataset(
+        {"m0": rng.normal(size=(4, 3)).astype(np.float32)})
+    out = model.encode(partial_ds[:], cond_mod="m0")
+    assert out.z.shape == (4, 4)
+    # the partial input cannot use the shared program
+    assert ("encode", ("m0",), 1, False, False) in model._jit_cache
+
+
+def test_masked_path_respects_n_and_mean():
+    model = make_models()[0]
+    ds = make_data()
+    out = model.encode(ds[:], cond_mod=["m0", "m1"], N=3)
+    assert out.z.shape == (3, 6, 4)
+    m1 = model.encode(ds[:], cond_mod=["m0"], return_mean=True)
+    m2 = model.encode(ds[:], cond_mod=["m0"], return_mean=True)
+    np.testing.assert_array_equal(np.asarray(m1.z), np.asarray(m2.z))
+
+
+def make_mopoe(**extra):
+    from multivae_tpu.models import MoPoE, MoPoEConfig
+
+    return MoPoE(MoPoEConfig(
+        n_modalities=3, latent_dim=4, input_dims=DIMS, **extra), seed=0)
+
+
+@pytest.mark.parametrize("extra", [{}, {"modalities_specific_dim": {"m0": 3, "m1": 3, "m2": 3}}],
+                         ids=["shared", "multilatent"])
+@pytest.mark.parametrize("cond", [("m0",), ("m0", "m2"),
+                                  ("m0", "m1", "m2")])
+def test_mopoe_masked_path_matches_per_subset_path(extra, cond):
+    model = make_mopoe(**extra)
+    ds = make_data()
+    batch = as_batch(ds[:])
+    rng = jax.random.key(11)
+
+    out_pub = model.encode(ds[:], cond_mod=list(cond), rng=rng)
+    ref = model._encode_subset(
+        model.params, batch, rng, cond_mod=cond, N=1,
+        return_mean=False, flatten=False)
+    np.testing.assert_allclose(np.asarray(out_pub.z), np.asarray(ref["z"]),
+                               rtol=1e-5, atol=1e-5)
+    if "modalities_z" in ref:
+        for m in ref["modalities_z"]:
+            np.testing.assert_allclose(
+                np.asarray(out_pub.modalities_z[m]),
+                np.asarray(ref["modalities_z"][m]), rtol=1e-5, atol=1e-5)
+
+
+def test_mopoe_masked_full_set_return_mean_quirk():
+    """return_mean on the full subset returns the aggregate posterior mean
+    (reference mopoe_model.py:352-415) through the masked program too."""
+    model = make_mopoe()
+    ds = make_data()
+    batch = as_batch(ds[:])
+    rng = jax.random.key(0)
+    out = model.encode(ds[:], cond_mod="all", return_mean=True, rng=rng)
+    ref = model._encode_subset(model.params, batch, rng,
+                               cond_mod=("m0", "m1", "m2"), N=1,
+                               return_mean=True, flatten=False)
+    np.testing.assert_allclose(np.asarray(out.z), np.asarray(ref["z"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mopoe_masked_path_refuses_unknown_subsets():
+    """Restricted-subsets configs must still refuse unlisted subsets at the
+    host boundary (validation lives in subset_indicator)."""
+    model = make_mopoe(subsets=[["m0", "m1"], ["m2"]])
+    ds = make_data()
+    with pytest.raises(AttributeError, match="not in the model's subsets"):
+        model.encode(ds[:], cond_mod=["m0", "m2"])
+    out = model.encode(ds[:], cond_mod=["m0", "m1"])
+    assert out.z.shape == (6, 4)
