@@ -191,6 +191,54 @@ class CMVAE(MMVAEPlus):
                 )
         return {"z": z, "modalities_z": style_z}
 
+    def _encode_masked(self, params, batch: MultimodalBatch, rng, subset, *,
+                       N: int, return_mean: bool, flatten: bool) -> dict:
+        """Subset as a traced (M,) indicator (see ``MMVAE._encode_masked``);
+        CMVAE semantics kept: return_mean returns the mean of the ONE
+        randomly chosen conditioning modality, and the non-conditioning
+        private prior follows ``reconstruction_option``."""
+        posteriors = self._posteriors(params, batch)
+        B = batch.n_samples
+        mods = list(self.encoders)
+        mus = jnp.stack([posteriors[m]["u"][0] for m in mods])
+        sigmas = jnp.stack([posteriors[m]["u"][1] for m in mods])
+
+        rng, choice_rng, sample_rng = jax.random.split(rng, 3)
+        idx = jax.random.categorical(choice_rng, jnp.log(subset))
+        mu, sigma = mus[idx], sigmas[idx]
+        if return_mean:
+            z = jnp.broadcast_to(mu, (N, *mu.shape)) if N > 1 else mu
+        else:
+            z = dist_rsample(sample_rng, self.dist_name, mu, sigma,
+                             K=1 if N == 1 else N)
+        if flatten:
+            z = z.reshape(-1, self.latent_dim)
+
+        style_z = {}
+        mod_rngs = jax.random.split(rng, len(self.encoders))
+        for i, m in enumerate(self.encoders):
+            if self.reconstruction_option == "single_prior":
+                pr_mu, pr_std = self._modality_prior(params, m)
+            else:
+                pr_mu, pr_std = self._w_prior()
+            pr_mu = jnp.broadcast_to(pr_mu, (B, pr_mu.shape[-1]))
+            pr_std = jnp.broadcast_to(pr_std, (B, pr_std.shape[-1]))
+            po_mu, po_std = posteriors[m]["w"]
+            sel = subset[i]
+            mu_m = sel * po_mu + (1.0 - sel) * pr_mu
+            std_m = sel * po_std + (1.0 - sel) * pr_std
+            if return_mean:
+                style_z[m] = (jnp.broadcast_to(mu_m, (N, *mu_m.shape))
+                              if N > 1 else mu_m)
+            else:
+                style_z[m] = dist_rsample(mod_rngs[i], self.dist_name, mu_m,
+                                          std_m, K=1 if N == 1 else N)
+            if flatten:
+                style_z[m] = style_z[m].reshape(
+                    -1, self.modalities_specific_dim
+                )
+        return {"z": z, "modalities_z": style_z}
+
     def generate_from_prior(self, n_samples: int, rng=None, **kwargs):
         """Sample cluster -> shared z + private codes from priors.
 

@@ -111,3 +111,25 @@ class JMVAE(BaseJointModel):
         z = rsample_from_gaussian(rng, mu, lv, N=N, return_mean=return_mean,
                                   flatten=flatten)
         return {"z": z}
+
+    def _encode_masked(self, params, batch: MultimodalBatch, rng, subset, *,
+                       N: int, return_mean: bool, flatten: bool) -> dict:
+        """Subset as a traced (M,) indicator: the joint-encoder (full set)
+        and masked exact-PoE (any proper subset; a single unmasked expert
+        IS that unimodal posterior) branches are both computed and selected
+        by a traced flag, so ONE compiled program serves every subset."""
+        jout = self.apply_joint_encoder(params, batch.data)
+        mus, lvs = [], []
+        for m in self.encoders:
+            o = self.encode_mod(params, m, batch.data[m])
+            mus.append(o["embedding"])
+            lvs.append(o["log_covariance"])
+        B = mus[0].shape[0]
+        mask = jnp.broadcast_to(subset[:, None], (len(mus), B))
+        poe_mu, poe_lv = stable_poe(jnp.stack(mus), jnp.stack(lvs), mask)
+        is_full = subset.sum() == self.n_modalities
+        mu = jnp.where(is_full, jout["embedding"], poe_mu)
+        lv = jnp.where(is_full, jout["log_covariance"], poe_lv)
+        z = rsample_from_gaussian(rng, mu, lv, N=N, return_mean=return_mean,
+                                  flatten=flatten)
+        return {"z": z}

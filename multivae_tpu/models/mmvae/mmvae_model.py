@@ -228,6 +228,29 @@ class MMVAE(BaseMultiVAE):
             z = z.reshape(-1, self.latent_dim)
         return {"z": z}
 
+    def _encode_masked(self, params, batch: MultimodalBatch, rng, subset, *,
+                       N: int, return_mean: bool, flatten: bool) -> dict:
+        """Subset as a traced (M,) indicator: the random mixture expert is
+        drawn by ``categorical(log(subset))`` (uniform over the subset, the
+        reference's ``random.choice`` semantics) so ONE compiled program
+        serves every conditioning subset."""
+        post_params = self._posterior_params(params, batch)
+        mods = list(self.encoders)
+        mus = jnp.stack([post_params[m][0] for m in mods])
+        sigmas = jnp.stack([post_params[m][1] for m in mods])
+
+        if return_mean:
+            emb = jnp.einsum("m,mbd->bd", subset, mus) / subset.sum()
+            z = jnp.broadcast_to(emb, (N, *emb.shape)) if N > 1 else emb
+        else:
+            rng, choice_rng, sample_rng = jax.random.split(rng, 3)
+            idx = jax.random.categorical(choice_rng, jnp.log(subset))
+            z = dist_rsample(sample_rng, self.dist_name, mus[idx],
+                             sigmas[idx], K=1 if N == 1 else N)
+        if flatten:
+            z = z.reshape(-1, self.latent_dim)
+        return {"z": z}
+
     def generate_from_prior(self, n_samples: int, rng=None, **kwargs):
         """Reference ``generate_from_prior`` (``mmvae_model.py:477-480``)."""
         if rng is None:

@@ -349,6 +349,58 @@ class MMVAEPlus(BaseMultiVAE):
                 )
         return {"z": z, "modalities_z": style_z}
 
+    def _modality_style_prior(self, params, m):
+        """(mu, std) of modality m's private prior under the configured
+        ``reconstruction_option`` (reference ``mmvaePlus_model.py:365-452``)."""
+        if self.reconstruction_option == "single_prior":
+            return self._modality_prior(params, m)
+        pz_mu, pz_std = self.pz_params(params)
+        return (pz_mu[:, self.latent_dim:], pz_std[:, self.latent_dim:])
+
+    def _encode_masked(self, params, batch: MultimodalBatch, rng, subset, *,
+                       N: int, return_mean: bool, flatten: bool) -> dict:
+        """Subset as a traced (M,) indicator (see ``MMVAE._encode_masked``):
+        random expert by ``categorical(log(subset))``; private codes select
+        posterior-vs-prior parameters by the indicator."""
+        posteriors = self._posteriors(params, batch)
+        B = batch.n_samples
+        mods = list(self.encoders)
+        mus = jnp.stack([posteriors[m]["u"][0] for m in mods])
+        sigmas = jnp.stack([posteriors[m]["u"][1] for m in mods])
+
+        rng, choice_rng, sample_rng = jax.random.split(rng, 3)
+        if return_mean:
+            emb = jnp.einsum("m,mbd->bd", subset, mus) / subset.sum()
+            z = jnp.broadcast_to(emb, (N, *emb.shape)) if N > 1 else emb
+        else:
+            idx = jax.random.categorical(choice_rng, jnp.log(subset))
+            z = dist_rsample(sample_rng, self.dist_name, mus[idx],
+                             sigmas[idx], K=1 if N == 1 else N)
+        if flatten:
+            z = z.reshape(-1, self.latent_dim)
+
+        style_z = {}
+        mod_rngs = jax.random.split(rng, len(self.encoders))
+        for i, m in enumerate(self.encoders):
+            pr_mu, pr_std = self._modality_style_prior(params, m)
+            pr_mu = jnp.broadcast_to(pr_mu, (B, pr_mu.shape[-1]))
+            pr_std = jnp.broadcast_to(pr_std, (B, pr_std.shape[-1]))
+            po_mu, po_std = posteriors[m]["w"]
+            sel = subset[i]
+            mu_m = sel * po_mu + (1.0 - sel) * pr_mu
+            std_m = sel * po_std + (1.0 - sel) * pr_std
+            if return_mean:
+                style_z[m] = (jnp.broadcast_to(mu_m, (N, *mu_m.shape))
+                              if N > 1 else mu_m)
+            else:
+                style_z[m] = dist_rsample(mod_rngs[i], self.dist_name, mu_m,
+                                          std_m, K=1 if N == 1 else N)
+            if flatten:
+                style_z[m] = style_z[m].reshape(
+                    -1, self.modalities_specific_dim
+                )
+        return {"z": z, "modalities_z": style_z}
+
     def generate_from_prior(self, n_samples: int, rng=None, **kwargs):
         if rng is None:
             rng = self.next_rng()

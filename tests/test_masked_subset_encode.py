@@ -153,3 +153,136 @@ def test_mopoe_masked_path_refuses_unknown_subsets():
         model.encode(ds[:], cond_mod=["m0", "m2"])
     out = model.encode(ds[:], cond_mod=["m0", "m1"])
     assert out.z.shape == (6, 4)
+
+
+# ---------------------------------------------------------------- JMVAE
+def make_jmvae():
+    from multivae_tpu.models import JMVAE, JMVAEConfig
+
+    return JMVAE(JMVAEConfig(
+        n_modalities=3, latent_dim=4, input_dims=DIMS), seed=0)
+
+
+@pytest.mark.parametrize("cond", [("m1",), ("m0", "m2"),
+                                  ("m0", "m1", "m2")])
+def test_jmvae_masked_path_matches_per_subset_path(cond):
+    """Joint-encoder full set, masked exact-PoE subsets, unimodal
+    singletons — all through the one traced-select program."""
+    model = make_jmvae()
+    ds = make_data()
+    batch = as_batch(ds[:])
+    rng = jax.random.key(5)
+    out_pub = model.encode(ds[:], cond_mod=list(cond), rng=rng)
+    ref = model._encode_subset(model.params, batch, rng, cond_mod=cond,
+                               N=1, return_mean=False, flatten=False)
+    np.testing.assert_allclose(np.asarray(out_pub.z), np.asarray(ref["z"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_jmvae_one_program():
+    model = make_jmvae()
+    ds = make_data()
+    for cond in [["m0"], ["m0", "m1"], "all"]:
+        model.encode(ds[:], cond_mod=cond)
+    keys = [k for k in model._jit_cache if k[0].startswith("encode")]
+    assert keys == [("encode_masked", 1, False, False)], keys
+
+
+# ------------------------------------------------------------ MoE family
+def make_moe_models():
+    from multivae_tpu.models import (
+        CMVAE,
+        CMVAEConfig,
+        MMVAE,
+        MMVAEConfig,
+        MMVAEPlus,
+        MMVAEPlusConfig,
+    )
+
+    kw = dict(n_modalities=3, latent_dim=4, input_dims=DIMS,
+              prior_and_posterior_dist="normal")
+    return [
+        MMVAE(MMVAEConfig(**kw, K=2), seed=0),
+        MMVAEPlus(MMVAEPlusConfig(**kw, K=2, modalities_specific_dim=3),
+                  seed=0),
+        CMVAE(CMVAEConfig(**kw, K=2, modalities_specific_dim=3,
+                          number_of_clusters=2), seed=0),
+    ]
+
+
+@pytest.mark.parametrize("model", make_moe_models(),
+                         ids=lambda m: type(m).__name__)
+@pytest.mark.parametrize("cond", [("m0",), ("m1",), ("m2",)])
+def test_moe_masked_singleton_matches_per_subset_path(model, cond):
+    """Singleton conditioning is selection-free: the masked program must
+    reproduce the per-subset path exactly (same rng stream)."""
+    ds = make_data()
+    batch = as_batch(ds[:])
+    rng = jax.random.key(3)
+    out_pub = model.encode(ds[:], cond_mod=list(cond), rng=rng)
+    ref = model._encode_subset(model.params, batch, rng, cond_mod=cond,
+                               N=1, return_mean=False, flatten=False)
+    np.testing.assert_allclose(np.asarray(out_pub.z), np.asarray(ref["z"]),
+                               rtol=1e-5, atol=1e-6)
+    if "modalities_z" in ref:
+        for m in ref["modalities_z"]:
+            np.testing.assert_allclose(
+                np.asarray(out_pub.modalities_z[m]),
+                np.asarray(ref["modalities_z"][m]), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("model", make_moe_models(),
+                         ids=lambda m: type(m).__name__)
+def test_moe_masked_expert_selection_stays_in_subset(model):
+    """The categorical(log(subset)) expert draw: z must always be a sample
+    of a SUBSET member's posterior, and both members must get picked."""
+    import jax.numpy as jnp
+
+    from multivae_tpu.ops.kdist import dist_rsample
+
+    ds = make_data()
+    batch = as_batch(ds[:])
+    cond = ("m0", "m2")
+    if hasattr(model, "_posteriors"):
+        posts = model._posteriors(model.params, batch)
+        cand = {m: posts[m]["u"] for m in DIMS}
+    else:
+        posts = model._posterior_params(model.params, batch)
+        cand = {m: posts[m] for m in DIMS}
+
+    chosen = set()
+    for seed in range(8):
+        rng = jax.random.key(seed)
+        out = model.encode(ds[:], cond_mod=list(cond), rng=rng)
+        # replay the masked program's rng splits to get sample_rng
+        r, choice_rng, sample_rng = jax.random.split(rng, 3)
+        matched = None
+        for m in DIMS:
+            zm = dist_rsample(sample_rng, model.dist_name, cand[m][0],
+                              cand[m][1], K=1)
+            if np.allclose(np.asarray(out.z), np.asarray(zm), atol=1e-5):
+                matched = m
+        assert matched in cond, f"expert {matched} outside subset {cond}"
+        chosen.add(matched)
+    assert chosen == set(cond), f"selection never hit {set(cond) - chosen}"
+
+
+@pytest.mark.parametrize("model", make_moe_models(),
+                         ids=lambda m: type(m).__name__)
+def test_moe_one_program(model):
+    ds = make_data()
+    for cond in [["m0"], ["m1", "m2"], "all"]:
+        model.encode(ds[:], cond_mod=cond)
+    keys = [k for k in model._jit_cache if k[0].startswith("encode")]
+    assert keys == [("encode_masked", 1, False, False)], keys
+
+
+def test_mmvae_masked_return_mean_is_subset_mean():
+    model = make_moe_models()[0]
+    ds = make_data()
+    batch = as_batch(ds[:])
+    out = model.encode(ds[:], cond_mod=["m0", "m2"], return_mean=True)
+    posts = model._posterior_params(model.params, batch)
+    expect = (np.asarray(posts["m0"][0]) + np.asarray(posts["m2"][0])) / 2
+    np.testing.assert_allclose(np.asarray(out.z), expect, rtol=1e-5,
+                               atol=1e-6)
