@@ -271,13 +271,19 @@ class MHVAE(BaseMultiVAE):
         return z_l_params, skips
 
     def subset_encode(self, params, z_l_params, skips, subset, batch, rng,
-                      return_mean: bool = False):
+                      return_mean: bool = False, subset_vec=None):
         """Top-down sampling with per-level PoE over the subset's experts +
-        the prior expert (reference ``subset_encode`` ``:103-194``)."""
+        the prior expert (reference ``subset_encode`` ``:103-194``).
+
+        With ``subset_vec`` (a traced (len(subset),) indicator), experts are
+        additionally zeroed by the indicator — used by ``_encode_masked`` to
+        serve every conditioning subset from one compiled program."""
         subset = list(subset)
         mus = jnp.stack([z_l_params[m]["embedding"] for m in subset])
         lvs = jnp.stack([z_l_params[m]["log_covariance"] for m in subset])
         mask = jnp.stack([batch.masks[m] for m in subset])
+        if subset_vec is not None:
+            mask = mask * subset_vec[:, None]
         # PoE with standard-normal prior expert
         B = mus.shape[1]
         mus = jnp.concatenate([mus, jnp.zeros_like(mus[:1])], axis=0)
@@ -301,13 +307,16 @@ class MHVAE(BaseMultiVAE):
             prior_out = self._apply_prior(params, i - 1, h)
 
             sub_mus, sub_lvs, sub_mask = [], [], []
-            for m in subset:
+            for j, m in enumerate(subset):
                 d = skips[m][i - 1]
                 concat = jnp.concatenate([h, d], axis=-1)
                 post = self._apply_posterior(params, m, i - 1, concat)
                 sub_mus.append(post["embedding"])
                 sub_lvs.append(post["log_covariance"])
-                sub_mask.append(batch.masks[m])
+                m_mask = batch.masks[m]
+                if subset_vec is not None:
+                    m_mask = m_mask * subset_vec[j]
+                sub_mask.append(m_mask)
             sub_mus.append(prior_out["embedding"])
             sub_lvs.append(prior_out["log_covariance"])
             sub_mask.append(jnp.ones((B,)))
@@ -405,6 +414,44 @@ class MHVAE(BaseMultiVAE):
         z_dict, _ = self.subset_encode(
             params, z_l_params, skips, cond_mod, batch, rng,
             return_mean=return_mean,
+        )
+        out = {}
+        z = z_dict["z_1"]
+        if not flatten and N > 1:
+            z = z.reshape(N, n_data, *z.shape[1:])
+            z_dict = {k: v.reshape(N, n_data, *v.shape[1:])
+                      for k, v in z_dict.items()}
+        out["z"] = z
+        out["all_z"] = z_dict
+        return out
+
+    def _encode_masked(self, params, batch: MultimodalBatch, rng, subset, *,
+                       N: int, return_mean: bool, flatten: bool) -> dict:
+        """Subset as a traced (M,) indicator: every level's PoE zeroes the
+        excluded experts' precisions, so ONE compiled program serves all
+        conditioning subsets (see ``BaseMultiVAE._encode_masked``)."""
+        z_l_params, skips = self.modality_encode(params, batch.data)
+        n_data = batch.n_samples
+        if N > 1:
+            z_l_params = {
+                m: ModelOutput(
+                    embedding=jnp.concatenate([v["embedding"]] * N, axis=0),
+                    log_covariance=jnp.concatenate(
+                        [v["log_covariance"]] * N, axis=0),
+                ) for m, v in z_l_params.items()
+            }
+            skips = {m: [jnp.concatenate([t] * N, axis=0) for t in v]
+                     for m, v in skips.items()}
+            batch = MultimodalBatch(
+                data=batch.data,
+                masks={m: jnp.concatenate([v] * N)
+                       for m, v in batch.masks.items()},
+                weights=jnp.concatenate([batch.weights] * N),
+                labels=None, incomplete=batch.incomplete,
+            )
+        z_dict, _ = self.subset_encode(
+            params, z_l_params, skips, list(self.encoders), batch, rng,
+            return_mean=return_mean, subset_vec=subset,
         )
         out = {}
         z = z_dict["z_1"]

@@ -286,3 +286,51 @@ def test_mmvae_masked_return_mean_is_subset_mean():
     expect = (np.asarray(posts["m0"][0]) + np.asarray(posts["m2"][0])) / 2
     np.testing.assert_allclose(np.asarray(out.z), expect, rtol=1e-5,
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------- MHVAE
+def make_mhvae():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from mhvae_test_architectures import build_mhvae_blocks
+
+    from multivae_tpu.models import MHVAE, MHVAEConfig
+
+    enc, dec, bu, td, post, prior = build_mhvae_blocks(
+        DIMS, n_latent=2, latent_dim=4)
+    return MHVAE(MHVAEConfig(
+        n_modalities=3, latent_dim=4, n_latent=2, input_dims=DIMS),
+        encoders=enc, decoders=dec, bottom_up_blocks=bu,
+        top_down_blocks=td, posterior_blocks=post, prior_blocks=prior,
+        seed=0)
+
+
+@pytest.mark.parametrize("cond", [("m1",), ("m0", "m2"),
+                                  ("m0", "m1", "m2")])
+def test_mhvae_masked_path_matches_per_subset_path(cond):
+    """Level-wise PoE with indicator-zeroed experts must reproduce the
+    per-subset hierarchy exactly (same rng stream per level)."""
+    model = make_mhvae()
+    ds = make_data()
+    batch = as_batch(ds[:])
+    rng = jax.random.key(9)
+    out_pub = model.encode(ds[:], cond_mod=list(cond), rng=rng)
+    ref = model._encode_subset(model.params, batch, rng, cond_mod=cond,
+                               N=1, return_mean=False, flatten=False)
+    np.testing.assert_allclose(np.asarray(out_pub.z), np.asarray(ref["z"]),
+                               rtol=1e-5, atol=1e-6)
+    for k in ref["all_z"]:
+        np.testing.assert_allclose(
+            np.asarray(out_pub.all_z[k]), np.asarray(ref["all_z"][k]),
+            rtol=1e-5, atol=1e-6)
+
+
+def test_mhvae_one_program():
+    model = make_mhvae()
+    ds = make_data()
+    for cond in [["m0"], ["m0", "m2"], "all"]:
+        model.encode(ds[:], cond_mod=cond)
+    keys = [k for k in model._jit_cache if k[0].startswith("encode")]
+    assert keys == [("encode_masked", 1, False, False)], keys
