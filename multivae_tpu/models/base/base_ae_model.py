@@ -349,6 +349,15 @@ class BaseMultiVAE(BaseModel):
     # CoherenceEvaluator pays a single (tunnel-expensive) TPU compile.
     _encode_masked = None
 
+    # True on models whose ``_encode_masked`` is fully per-SAMPLE (pure
+    # masked-PoE aggregation + per-sample private-code select): their one
+    # compiled program can serve request batches where every row
+    # conditions on a DIFFERENT modality subset (see
+    # ``serving.AnySubsetPredictor``). Mixture-selection models (MoE
+    # family, MoPoE's subset lookup) draw one expert per batch and stay
+    # False.
+    supports_per_sample_conditioning = False
+
     def subset_indicator(self, cond_mod: tuple) -> jnp.ndarray:
         """(M,) float indicator of ``cond_mod`` in encoder order."""
         return jnp.asarray(

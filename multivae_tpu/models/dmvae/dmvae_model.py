@@ -38,6 +38,7 @@ class DMVAE(BaseMultiVAE):
     """DMVAE model with shared + per-modality private latent spaces."""
 
     model_name = "DMVAE"
+    supports_per_sample_conditioning = True
 
     def __init__(self, model_config: DMVAEConfig, encoders: dict = None,
                  decoders: dict = None, seed: int = 0):
@@ -226,8 +227,11 @@ class DMVAE(BaseMultiVAE):
         modalities_z = {}
         mod_rngs = jax.random.split(rng, len(self.encoders))
         for i, m in enumerate(self.encoders):
-            mu_p = subset[i] * enc[m]["style_embedding"]
-            lv_p = subset[i] * enc[m]["style_log_covariance"]
+            # per-SAMPLE posterior-vs-prior select (indicator x batch mask):
+            # rows where the modality is absent fall back to N(0, I)
+            sel = (subset[i] * batch.masks[m])[:, None]
+            mu_p = sel * enc[m]["style_embedding"]
+            lv_p = sel * enc[m]["style_log_covariance"]
             modalities_z[m] = rsample_from_gaussian(
                 mod_rngs[i], mu_p, lv_p, N=N, return_mean=return_mean,
                 flatten=flatten,

@@ -44,6 +44,7 @@ class MHVAE(BaseMultiVAE):
     """Multimodal Hierarchical VAE. All block architectures are required."""
 
     model_name = "MHVAE"
+    supports_per_sample_conditioning = True
 
     def __init__(self, model_config: MHVAEConfig, encoders: dict,
                  decoders: dict, bottom_up_blocks: dict,

@@ -37,6 +37,7 @@ class MVAE(BaseMultiVAE):
     """The Multi-modal VAE (PoE) model."""
 
     model_name = "MVAE"
+    supports_per_sample_conditioning = True
 
     def __init__(self, model_config: MVAEConfig, encoders: dict = None,
                  decoders: dict = None, seed: int = 0):

@@ -25,6 +25,7 @@ class MVTCAE(BaseMultiVAE):
     """MVTCAE model. See config for hyperparameters."""
 
     model_name = "MVTCAE"
+    supports_per_sample_conditioning = True
 
     def __init__(self, model_config: MVTCAEConfig, encoders: dict = None,
                  decoders: dict = None, seed: int = 0):

@@ -138,3 +138,134 @@ class Predictor:
         out = self._call(self.model.params, padded, rng)
         return ModelOutput(
             **{m: np.asarray(v)[:n] for m, v in out.items()})
+
+
+class AnySubsetPredictor:
+    """ONE fixed-shape compiled endpoint serving ANY conditioning pattern —
+    per request row.
+
+    Models whose masked-subset encoding is fully per-sample
+    (``supports_per_sample_conditioning``: the PoE families — MVTCAE,
+    CRMVAE, MVAE, DMVAE, MHVAE) aggregate experts with per-sample
+    multiplicative precision masks, so a single compiled program can serve
+    a batch where row 0 conditions on {image}, row 1 on {image, audio} and
+    row 2 on {audio}: absent modalities are zero-filled and their mask row
+    zeroed, exactly the models' incomplete-data semantics. A per-subset
+    endpoint fleet (2^M - 1 ``Predictor``s) collapses to one program, and
+    requests never need to be grouped by conditioning pattern.
+
+    Example::
+
+        pred = AnySubsetPredictor(model, batch_size=64)
+        out = pred({"image": imgs})                      # whole batch: {image}
+        out = pred({"image": imgs, "audio": wavs},
+                   masks={"audio": audio_present})       # mixed per-row
+
+    Rows must have at least one available modality. ``deterministic=True``
+    uses posterior means.
+    """
+
+    def __init__(self, model, gen_mod: Union[str, List[str]] = "all",
+                 batch_size: int = 64, deterministic: bool = False,
+                 seed: int = 0):
+        if not getattr(model, "supports_per_sample_conditioning", False):
+            raise TypeError(
+                f"{type(model).__name__} does not support per-sample "
+                "conditioning (its subset encoding draws one mixture "
+                "expert per batch); use per-subset Predictor endpoints."
+            )
+        self.model = model
+        self.mods = list(model.encoders.keys())
+        if gen_mod == "all":
+            gen_mod = list(model.decoders.keys())
+        elif isinstance(gen_mod, str):
+            gen_mod = [gen_mod]
+        self.gen_mod = tuple(gen_mod)
+        self.batch_size = int(batch_size)
+        self.deterministic = bool(deterministic)
+        self._rng = jax.random.key(seed)
+        self._call = jax.jit(self._predict_fn)
+
+    def _predict_fn(self, params, data, masks, rng):
+        b = self.batch_size
+        batch = MultimodalBatch(
+            data=data, masks=masks,
+            weights=jnp.ones((b,), jnp.float32), labels=None,
+            incomplete=True,
+        )
+        enc = self.model._encode_masked(
+            params, batch, rng, jnp.ones((len(self.mods),), jnp.float32),
+            N=1, return_mean=self.deterministic, flatten=True,
+        )
+        return self.model._decode_mods(
+            params, enc["z"], self.gen_mod,
+            modalities_z=enc.get("modalities_z"),
+        )
+
+    def warmup(self):
+        dummy = {self.mods[0]: np.zeros(
+            (self.batch_size,
+             *self.model.model_config.input_dims[self.mods[0]]), np.float32)}
+        self(dummy)
+        return self
+
+    def export(self, path: str) -> str:
+        """Serialize the endpoint (StableHLO via ``jax.export``); the loaded
+        ``fn(params, data, masks, rng)`` takes full data/mask dicts."""
+        from jax import export as jexport
+
+        dummy = {
+            m: jnp.zeros((self.batch_size,
+                          *self.model.model_config.input_dims[m]),
+                         jnp.float32)
+            for m in self.mods
+        }
+        masks = {m: jnp.ones((self.batch_size,), jnp.float32)
+                 for m in self.mods}
+        exp = jexport.export(self._call)(
+            self.model.params, dummy, masks, jax.random.key(0))
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        return path
+
+    def __call__(self, data: Dict[str, np.ndarray],
+                 masks: Dict[str, np.ndarray] = None) -> ModelOutput:
+        masks = masks or {}
+        n = next(iter(data.values())).shape[0]
+        if n > self.batch_size:
+            raise ValueError(
+                f"Request batch {n} exceeds compiled batch_size "
+                f"{self.batch_size}; split the request or build a bigger "
+                "AnySubsetPredictor."
+            )
+        pad = self.batch_size - n
+        full_data, full_masks = {}, {}
+        row_has_mod = np.zeros((n,), bool)
+        for m in self.mods:
+            shape = self.model.model_config.input_dims[m]
+            if m in data:
+                x = np.asarray(data[m], np.float32)
+                mk = np.asarray(masks.get(m, np.ones((n,))), np.float32)
+            else:
+                x = np.zeros((n, *shape), np.float32)
+                mk = np.zeros((n,), np.float32)
+            row_has_mod |= mk > 0
+            # zero the data of per-row-absent modalities (defensive: the
+            # mask already removes them from every aggregation)
+            x = x * mk.reshape((n,) + (1,) * (x.ndim - 1))
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad, *x.shape[1:]), np.float32)])
+                mk = np.concatenate([mk, np.zeros((pad,), np.float32)])
+            full_data[m] = x
+            full_masks[m] = mk
+        if not row_has_mod.all():
+            raise ValueError(
+                "Every request row must have at least one available "
+                f"modality; rows {np.nonzero(~row_has_mod)[0].tolist()} "
+                "have none."
+            )
+        self._rng, rng = jax.random.split(self._rng)
+        out = self._call(self.model.params, full_data, full_masks, rng)
+        return ModelOutput(
+            **{m: np.asarray(v)[:n] for m, v in out.items()})

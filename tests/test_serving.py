@@ -76,3 +76,100 @@ def test_predictor_export_roundtrip(model, tmp_path):
     loaded = call(model.params, x, rng)
     np.testing.assert_array_equal(np.asarray(live["mod2"]),
                                   np.asarray(loaded["mod2"]))
+
+
+# ------------------------------------------------------ AnySubsetPredictor
+def test_any_subset_predictor_mixed_rows(model):
+    """One compiled program serves per-ROW heterogeneous conditioning:
+    each row's output must equal the matching per-subset Predictor's."""
+    from multivae_tpu.serving import AnySubsetPredictor
+
+    rng = np.random.default_rng(0)
+    n = 6
+    data = {m: rng.random((n, *DIMS[m]), dtype=np.float32) for m in DIMS}
+    # rows 0-1: {mod1}; rows 2-3: {mod1, mod2}; rows 4-5: {mod2}
+    masks = {
+        "mod1": np.array([1, 1, 1, 1, 0, 0], np.float32),
+        "mod2": np.array([0, 0, 1, 1, 1, 1], np.float32),
+        "mod3": np.zeros(n, np.float32),
+    }
+    pred = AnySubsetPredictor(model, batch_size=8,
+                              deterministic=True).warmup()
+    out = pred({m: data[m] for m in ["mod1", "mod2"]},
+               masks={m: masks[m] for m in ["mod1", "mod2"]})
+
+    for rows, cond in [([0, 1], ["mod1"]), ([2, 3], ["mod1", "mod2"]),
+                       ([4, 5], ["mod2"])]:
+        ref = Predictor(model, cond_mod=cond, gen_mod="all", batch_size=8,
+                        deterministic=True)(
+            {m: data[m][rows] for m in cond})
+        for m in DIMS:
+            np.testing.assert_allclose(
+                out[m][rows], np.asarray(ref[m]), rtol=1e-4, atol=1e-5,
+                err_msg=f"rows {rows} cond {cond} gen {m}")
+
+
+def test_any_subset_predictor_one_program(model):
+    """Different conditioning patterns must NOT retrace."""
+    from multivae_tpu.serving import AnySubsetPredictor
+
+    pred = AnySubsetPredictor(model, batch_size=4, deterministic=True)
+    x1 = {"mod1": np.zeros((2, *DIMS["mod1"]), np.float32)}
+    x2 = {"mod2": np.zeros((3, *DIMS["mod2"]), np.float32)}
+    pred(x1)
+    n_compiles = pred._call._cache_size()
+    pred(x2)
+    pred({"mod1": np.zeros((1, *DIMS["mod1"]), np.float32),
+          "mod3": np.zeros((1, *DIMS["mod3"]), np.float32)})
+    assert pred._call._cache_size() == n_compiles == 1
+
+
+def test_any_subset_predictor_refuses_empty_rows(model):
+    from multivae_tpu.serving import AnySubsetPredictor
+
+    pred = AnySubsetPredictor(model, batch_size=4)
+    with pytest.raises(ValueError, match="at least one available"):
+        pred({"mod1": np.zeros((2, *DIMS["mod1"]), np.float32)},
+             masks={"mod1": np.array([1, 0], np.float32)})
+
+
+def test_any_subset_predictor_refuses_moe_models():
+    from multivae_tpu.models import MMVAE, MMVAEConfig
+    from multivae_tpu.serving import AnySubsetPredictor
+
+    moe = MMVAE(MMVAEConfig(n_modalities=3, latent_dim=LATENT,
+                            input_dims=DIMS), seed=0)
+    with pytest.raises(TypeError, match="per-sample"):
+        AnySubsetPredictor(moe)
+
+
+def test_any_subset_predictor_multilatent_per_row():
+    """DMVAE: private codes must come from the posterior exactly on the
+    rows where the modality is present, from the prior elsewhere."""
+    from multivae_tpu.models import DMVAE, DMVAEConfig
+    from multivae_tpu.serving import AnySubsetPredictor
+
+    model = DMVAE(DMVAEConfig(
+        n_modalities=3, latent_dim=LATENT, input_dims=DIMS,
+        modalities_specific_dim={m: 2 for m in DIMS}), seed=0)
+    rng = np.random.default_rng(1)
+    n = 4
+    data = {m: rng.random((n, *DIMS[m]), dtype=np.float32) for m in DIMS}
+    masks = {"mod1": np.ones(n, np.float32),
+             "mod2": np.array([1, 1, 0, 0], np.float32),
+             "mod3": np.zeros(n, np.float32)}
+    pred = AnySubsetPredictor(model, batch_size=4,
+                              deterministic=True).warmup()
+    out = pred({"mod1": data["mod1"], "mod2": data["mod2"]},
+               masks={"mod1": masks["mod1"], "mod2": masks["mod2"]})
+    ref12 = Predictor(model, cond_mod=["mod1", "mod2"], gen_mod="all",
+                      batch_size=4, deterministic=True)(
+        {"mod1": data["mod1"][:2], "mod2": data["mod2"][:2]})
+    ref1 = Predictor(model, cond_mod=["mod1"], gen_mod="all",
+                     batch_size=4, deterministic=True)(
+        {"mod1": data["mod1"][2:]})
+    for m in DIMS:
+        np.testing.assert_allclose(out[m][:2], np.asarray(ref12[m]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(out[m][2:], np.asarray(ref1[m]),
+                                   rtol=1e-4, atol=1e-5)
