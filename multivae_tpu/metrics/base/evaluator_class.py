@@ -34,8 +34,26 @@ class Evaluator:
         self.batch_size = min(eval_config.batch_size, self.n_data)
         self.test_dataset = test_dataset
         self.eval_config = eval_config
+        self.n_devices = int(getattr(eval_config, "n_devices", 1) or 1)
+        self.mesh = None
+        if self.n_devices > 1:
+            # TPU-native extension: shard eval batches over a 1-D data
+            # mesh; XLA partitions the model's jitted eval programs from
+            # the input shardings (weights are zero on padding rows, so
+            # the weighted metric kernels are sharding-invariant).
+            from ...parallel.mesh import get_data_mesh
+
+            rem = self.batch_size % self.n_devices
+            if rem:
+                self.batch_size += self.n_devices - rem
+            self.mesh = get_data_mesh(self.n_devices)
         self.test_loader = DataLoader(test_dataset, self.batch_size,
                                       shuffle=False, drop_last=False)
+        if self.mesh is not None:
+            from ...data.prefetch import PrefetchLoader
+
+            self.test_loader = PrefetchLoader(self.test_loader, self.mesh,
+                                              depth=2)
         if output is not None:
             Path(output).mkdir(parents=True, exist_ok=True)
         self.output = output

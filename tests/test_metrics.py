@@ -277,3 +277,59 @@ def test_mmvae_paper_nll_masks_padding():
     nll_one = ev_one.joint_nll()
     assert np.isfinite(nll_pad) and np.isfinite(nll_one)
     assert nll_pad == pytest.approx(nll_one, rel=0.15)
+
+
+def _fresh_model():
+    return MVTCAE(MVTCAEConfig(n_modalities=2, latent_dim=4,
+                               input_dims=DIMS), seed=0)
+
+
+def test_sharded_evaluation_matches_single_device(dataset):
+    """n_devices>1 (TPU-native extension): evaluation sharded over a data
+    mesh must reproduce the single-device metrics (weighted kernels are
+    sharding-invariant; XLA partitions from the input shardings). Fresh
+    identically-seeded models so the stateful eval rng streams match."""
+    nll1 = LikelihoodsEvaluator(
+        _fresh_model(), dataset,
+        eval_config=LikelihoodsEvaluatorConfig(
+            batch_size=12, num_samples=10, batch_size_k=5),
+    ).eval()["joint_likelihood"]
+    nll4 = LikelihoodsEvaluator(
+        _fresh_model(), dataset,
+        eval_config=LikelihoodsEvaluatorConfig(
+            batch_size=12, num_samples=10, batch_size_k=5, n_devices=4),
+    ).eval()["joint_likelihood"]
+    assert float(nll1) == pytest.approx(float(nll4), rel=1e-4)
+
+    clfs = dummy_classifiers()
+    acc1 = CoherenceEvaluator(
+        _fresh_model(), clfs, dataset,
+        eval_config=CoherenceEvaluatorConfig(batch_size=12, num_classes=3),
+    ).cross_coherences()
+    acc4 = CoherenceEvaluator(
+        _fresh_model(), clfs, dataset,
+        eval_config=CoherenceEvaluatorConfig(batch_size=12, num_classes=3,
+                                             n_devices=4),
+    ).cross_coherences()
+    np.testing.assert_allclose(np.asarray(acc1[0]), np.asarray(acc4[0]),
+                               atol=1e-6)
+
+
+def test_sharded_evaluation_rounds_batch_to_devices(dataset):
+    """batch_size not divisible by n_devices is rounded up; padding rows
+    carry zero weight so metrics are unchanged."""
+    ev = LikelihoodsEvaluator(
+        _fresh_model(), dataset,
+        eval_config=LikelihoodsEvaluatorConfig(
+            batch_size=10, num_samples=10, batch_size_k=5, n_devices=4),
+    )
+    assert ev.batch_size == 12
+    batch = next(iter(ev.test_loader))
+    assert len(batch.data["m1"].sharding.device_set) == 4  # truly sharded
+    nll = ev.eval()["joint_likelihood"]
+    ref = LikelihoodsEvaluator(
+        _fresh_model(), dataset,
+        eval_config=LikelihoodsEvaluatorConfig(
+            batch_size=12, num_samples=10, batch_size_k=5),
+    ).eval()["joint_likelihood"]
+    assert float(nll) == pytest.approx(float(ref), rel=1e-4)
