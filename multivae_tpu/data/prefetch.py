@@ -40,24 +40,47 @@ class PrefetchLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         sentinel = object()
+        stop = threading.Event()
         error = []
+
+        def put(item) -> bool:
+            """Bounded put that gives up once the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for batch in self.loader:
-                    q.put(shard_batch(batch, self.mesh))
+                    if not put(shard_batch(batch, self.mesh)):
+                        return
             except BaseException as e:  # pragma: no cover
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # Consumer may exit early (an evaluator raising mid-epoch):
+            # signal the producer and drain so it never blocks forever
+            # holding device batches.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=5)
         if error:
             raise error[0]

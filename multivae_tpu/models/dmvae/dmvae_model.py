@@ -202,13 +202,23 @@ class DMVAE(BaseMultiVAE):
         return {"z": z, "modalities_z": modalities_z}
 
     def _encode_masked(self, params, batch: MultimodalBatch, rng, subset, *,
-                       N: int, return_mean: bool, flatten: bool) -> dict:
+                       N: int, return_mean: bool, flatten: bool,
+                       per_sample: bool = False) -> dict:
         """Subset as a traced (M,) indicator: shared PoE with
         indicator-zeroed precisions; private codes multiply by the
         indicator (the non-conditioning prior is N(0, I), so
         ``sel * posterior_params`` IS the posterior-or-prior select). One
         compiled program serves every conditioning subset (see
-        ``BaseMultiVAE._encode_masked``)."""
+        ``BaseMultiVAE._encode_masked``).
+
+        ``per_sample=False`` (the public-encode default) keeps reference
+        parity: private codes of conditioning modalities come from the
+        posterior on every row, masked or not (reference
+        ``dmvae_model.py:269-277`` under ``ignore_incomplete``).
+        ``per_sample=True`` (``serving.AnySubsetPredictor``) additionally
+        multiplies by the row mask, i.e. treats each row's available
+        modalities as ITS conditioning set — rows missing a modality fall
+        back to its N(0, I) prior."""
         enc = {m: self.encode_mod(params, m, batch.data[m])
                for m in self.encoders}
         mus = jnp.stack([enc[m]["embedding"] for m in self.encoders])
@@ -227,9 +237,10 @@ class DMVAE(BaseMultiVAE):
         modalities_z = {}
         mod_rngs = jax.random.split(rng, len(self.encoders))
         for i, m in enumerate(self.encoders):
-            # per-SAMPLE posterior-vs-prior select (indicator x batch mask):
-            # rows where the modality is absent fall back to N(0, I)
-            sel = (subset[i] * batch.masks[m])[:, None]
+            if per_sample:
+                sel = (subset[i] * batch.masks[m])[:, None]
+            else:
+                sel = subset[i]
             mu_p = sel * enc[m]["style_embedding"]
             lv_p = sel * enc[m]["style_log_covariance"]
             modalities_z[m] = rsample_from_gaussian(

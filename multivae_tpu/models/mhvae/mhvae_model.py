@@ -390,9 +390,11 @@ class MHVAE(BaseMultiVAE):
 
     def _encode_subset(self, params, batch: MultimodalBatch, rng, *,
                        cond_mod: tuple, N: int, return_mean: bool,
-                       flatten: bool) -> dict:
+                       flatten: bool, subset_vec=None) -> dict:
         """Reference ``encode`` (``mhvae_model.py:264-311``): replicate
-        per-modality posteriors N times, then run the top-down chain."""
+        per-modality posteriors N times, then run the top-down chain.
+        ``subset_vec`` threads the traced indicator of ``_encode_masked``
+        down to every level's PoE."""
         z_l_params, skips = self.modality_encode(params, batch.data)
         n_data = batch.n_samples
         if N > 1:
@@ -414,7 +416,7 @@ class MHVAE(BaseMultiVAE):
             )
         z_dict, _ = self.subset_encode(
             params, z_l_params, skips, cond_mod, batch, rng,
-            return_mean=return_mean,
+            return_mean=return_mean, subset_vec=subset_vec,
         )
         out = {}
         z = z_dict["z_1"]
@@ -431,35 +433,7 @@ class MHVAE(BaseMultiVAE):
         """Subset as a traced (M,) indicator: every level's PoE zeroes the
         excluded experts' precisions, so ONE compiled program serves all
         conditioning subsets (see ``BaseMultiVAE._encode_masked``)."""
-        z_l_params, skips = self.modality_encode(params, batch.data)
-        n_data = batch.n_samples
-        if N > 1:
-            z_l_params = {
-                m: ModelOutput(
-                    embedding=jnp.concatenate([v["embedding"]] * N, axis=0),
-                    log_covariance=jnp.concatenate(
-                        [v["log_covariance"]] * N, axis=0),
-                ) for m, v in z_l_params.items()
-            }
-            skips = {m: [jnp.concatenate([t] * N, axis=0) for t in v]
-                     for m, v in skips.items()}
-            batch = MultimodalBatch(
-                data=batch.data,
-                masks={m: jnp.concatenate([v] * N)
-                       for m, v in batch.masks.items()},
-                weights=jnp.concatenate([batch.weights] * N),
-                labels=None, incomplete=batch.incomplete,
-            )
-        z_dict, _ = self.subset_encode(
-            params, z_l_params, skips, list(self.encoders), batch, rng,
-            return_mean=return_mean, subset_vec=subset,
+        return self._encode_subset(
+            params, batch, rng, cond_mod=tuple(self.encoders), N=N,
+            return_mean=return_mean, flatten=flatten, subset_vec=subset,
         )
-        out = {}
-        z = z_dict["z_1"]
-        if not flatten and N > 1:
-            z = z.reshape(N, n_data, *z.shape[1:])
-            z_dict = {k: v.reshape(N, n_data, *v.shape[1:])
-                      for k, v in z_dict.items()}
-        out["z"] = z
-        out["all_z"] = z_dict
-        return out

@@ -33,6 +33,36 @@ from .data.batch import MultimodalBatch
 from .utils.model_output import ModelOutput
 
 
+def _request_batch_size(data):
+    """Validate a request dict: non-empty, consistent leading dims."""
+    if not data:
+        raise ValueError("Empty request: provide at least one modality.")
+    sizes = {m: np.asarray(v).shape[0] for m, v in data.items()}
+    if len(set(sizes.values())) != 1:
+        raise ValueError(
+            f"All request modalities must share the leading batch "
+            f"dimension, got {sizes}."
+        )
+    return next(iter(sizes.values()))
+
+
+def _pad_rows(x, batch_size):
+    """Zero-pad a (n, ...) array to (batch_size, ...)."""
+    pad = batch_size - x.shape[0]
+    if pad:
+        x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
+    return x
+
+
+def _export_serialized(call, path, *example_args):
+    from jax import export as jexport
+
+    exp = jexport.export(call)(*example_args)
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    return path
+
+
 class Predictor:
     """A fixed-shape compiled cross-modal generation endpoint."""
 
@@ -85,19 +115,14 @@ class Predictor:
 
         The artifact bakes in the platform (cpu/tpu) and the fixed shapes.
         """
-        from jax import export as jexport
-
         dummy = {
             m: jnp.zeros((self.batch_size,
                           *self.model.model_config.input_dims[m]),
                          jnp.float32)
             for m in self.cond_mod
         }
-        exp = jexport.export(self._call)(
-            self.model.params, dummy, jax.random.key(0))
-        with open(path, "wb") as f:
-            f.write(exp.serialize())
-        return path
+        return _export_serialized(self._call, path, self.model.params,
+                                  dummy, jax.random.key(0))
 
     @staticmethod
     def load_exported(path: str):
@@ -119,21 +144,16 @@ class Predictor:
         return self
 
     def __call__(self, data: Dict[str, np.ndarray]) -> ModelOutput:
-        n = next(iter(data.values())).shape[0]
+        n = _request_batch_size(data)
         if n > self.batch_size:
             raise ValueError(
                 f"Request batch {n} exceeds compiled batch_size "
                 f"{self.batch_size}; split the request or build a bigger "
                 "Predictor."
             )
-        padded = {}
-        for m in self.cond_mod:
-            x = np.asarray(data[m], np.float32)
-            pad = self.batch_size - n
-            if pad:
-                x = np.concatenate(
-                    [x, np.zeros((pad, *x.shape[1:]), np.float32)])
-            padded[m] = x
+        padded = {m: _pad_rows(np.asarray(data[m], np.float32),
+                               self.batch_size)
+                  for m in self.cond_mod}
         self._rng, rng = jax.random.split(self._rng)
         out = self._call(self.model.params, padded, rng)
         return ModelOutput(
@@ -184,6 +204,15 @@ class AnySubsetPredictor:
         self.batch_size = int(batch_size)
         self.deterministic = bool(deterministic)
         self._rng = jax.random.key(seed)
+        # models with a per-row posterior-vs-prior select (DMVAE) take an
+        # explicit flag: the public encode keeps reference semantics, the
+        # per-row endpoint opts in
+        import inspect
+
+        self._encode_kwargs = {}
+        if "per_sample" in inspect.signature(
+                model._encode_masked).parameters:
+            self._encode_kwargs["per_sample"] = True
         self._call = jax.jit(self._predict_fn)
 
     def _predict_fn(self, params, data, masks, rng):
@@ -196,6 +225,7 @@ class AnySubsetPredictor:
         enc = self.model._encode_masked(
             params, batch, rng, jnp.ones((len(self.mods),), jnp.float32),
             N=1, return_mean=self.deterministic, flatten=True,
+            **self._encode_kwargs,
         )
         return self.model._decode_mods(
             params, enc["z"], self.gen_mod,
@@ -212,8 +242,6 @@ class AnySubsetPredictor:
     def export(self, path: str) -> str:
         """Serialize the endpoint (StableHLO via ``jax.export``); the loaded
         ``fn(params, data, masks, rng)`` takes full data/mask dicts."""
-        from jax import export as jexport
-
         dummy = {
             m: jnp.zeros((self.batch_size,
                           *self.model.model_config.input_dims[m]),
@@ -222,23 +250,24 @@ class AnySubsetPredictor:
         }
         masks = {m: jnp.ones((self.batch_size,), jnp.float32)
                  for m in self.mods}
-        exp = jexport.export(self._call)(
-            self.model.params, dummy, masks, jax.random.key(0))
-        with open(path, "wb") as f:
-            f.write(exp.serialize())
-        return path
+        return _export_serialized(self._call, path, self.model.params,
+                                  dummy, masks, jax.random.key(0))
 
     def __call__(self, data: Dict[str, np.ndarray],
                  masks: Dict[str, np.ndarray] = None) -> ModelOutput:
         masks = masks or {}
-        n = next(iter(data.values())).shape[0]
+        n = _request_batch_size(data)
+        for m, v in masks.items():
+            if np.asarray(v).shape[0] != n:
+                raise ValueError(
+                    f"masks[{m!r}] has {np.asarray(v).shape[0]} rows but "
+                    f"the request has {n}.")
         if n > self.batch_size:
             raise ValueError(
                 f"Request batch {n} exceeds compiled batch_size "
                 f"{self.batch_size}; split the request or build a bigger "
                 "AnySubsetPredictor."
             )
-        pad = self.batch_size - n
         full_data, full_masks = {}, {}
         row_has_mod = np.zeros((n,), bool)
         for m in self.mods:
@@ -253,12 +282,8 @@ class AnySubsetPredictor:
             # zero the data of per-row-absent modalities (defensive: the
             # mask already removes them from every aggregation)
             x = x * mk.reshape((n,) + (1,) * (x.ndim - 1))
-            if pad:
-                x = np.concatenate(
-                    [x, np.zeros((pad, *x.shape[1:]), np.float32)])
-                mk = np.concatenate([mk, np.zeros((pad,), np.float32)])
-            full_data[m] = x
-            full_masks[m] = mk
+            full_data[m] = _pad_rows(x, self.batch_size)
+            full_masks[m] = _pad_rows(mk, self.batch_size)
         if not row_has_mod.all():
             raise ValueError(
                 "Every request row must have at least one available "

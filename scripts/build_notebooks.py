@@ -69,7 +69,6 @@ def convert(path):
     # notebook-safe path bootstrap
     body = body.replace("os.path.dirname(__file__)", "os.getcwd()")
 
-    title = os.path.basename(path)[:-3].replace("_", " ")
     stem = os.path.basename(path)[:-3]
     intro = f"# {NAME_MAP.get(stem, stem).replace('_', ' ')}\n\n" \
             + _strip_invocation(doc)

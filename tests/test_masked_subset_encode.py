@@ -334,3 +334,37 @@ def test_mhvae_one_program():
         model.encode(ds[:], cond_mod=cond)
     keys = [k for k in model._jit_cache if k[0].startswith("encode")]
     assert keys == [("encode_masked", 1, False, False)], keys
+
+
+def test_dmvae_masked_path_matches_subset_path_on_incomplete_data():
+    """Public-encode reference parity on INCOMPLETE batches: the masked
+    program must reproduce _encode_subset exactly under ignore_incomplete
+    (shared PoE per-row mask-zeroed, private codes from the posterior on
+    every row — reference dmvae_model.py:269-277). The per-row
+    posterior-vs-prior select is an explicit serving opt-in
+    (per_sample=True), not the public-encode behavior."""
+    from multivae_tpu.data import IncompleteDataset
+
+    model = make_models()[3]
+    assert type(model).__name__ == "DMVAE"
+    rng_np = np.random.default_rng(2)
+    n = 6
+    data = {m: rng_np.normal(size=(n, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    masks = {"m0": np.ones(n, bool),
+             "m1": rng_np.random(n) > 0.5,
+             "m2": np.ones(n, bool)}
+    ds = IncompleteDataset(data=data, masks=masks)
+    batch = as_batch(ds[:])
+    rng = jax.random.key(13)
+    out_pub = model.encode(ds[:], cond_mod=["m0", "m1"], rng=rng,
+                           ignore_incomplete=True)
+    ref = model._encode_subset(model.params, batch, rng,
+                               cond_mod=("m0", "m1"), N=1,
+                               return_mean=False, flatten=False)
+    np.testing.assert_allclose(np.asarray(out_pub.z), np.asarray(ref["z"]),
+                               rtol=1e-5, atol=1e-5)
+    for m in ref["modalities_z"]:
+        np.testing.assert_allclose(
+            np.asarray(out_pub.modalities_z[m]),
+            np.asarray(ref["modalities_z"][m]), rtol=1e-5, atol=1e-5)

@@ -106,6 +106,31 @@ def test_prefetch_loader_matches_plain(dataset):
                                        np.asarray(b2.data[m]))
 
 
+def test_prefetch_loader_early_exit_no_thread_leak(dataset):
+    """An abandoned iteration (evaluator raising mid-epoch) must stop the
+    producer thread instead of leaving it blocked on q.put holding device
+    batches (code-review r2 finding)."""
+    import threading
+
+    from multivae_tpu.data.loader import DataLoader
+    from multivae_tpu.data.prefetch import PrefetchLoader
+    from multivae_tpu.parallel.mesh import get_data_mesh
+
+    mesh = get_data_mesh(1)
+    loader = DataLoader(dataset, 2, shuffle=False)  # many small batches
+    before = threading.active_count()
+    it = iter(PrefetchLoader(loader, mesh, depth=1))
+    next(it)
+    it.close()  # generator finally: signal + drain + join
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        import time
+
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
 def test_native_gather_various_shapes():
     from multivae_tpu.data.native_gather import gather_rows
 
