@@ -23,6 +23,7 @@ from ...data.batch import MultimodalBatch, as_batch
 from ...nn.default_architectures import BaseDictDecoders, BaseDictEncoders
 from ...ops.dists import set_decoder_dist
 from ...ops.gaussian import rsample_from_gaussian
+from ...utils.host_init import init_on_host
 from ...utils.model_output import ModelOutput
 from .base_config import BaseMultiVAEConfig
 from .base_model import BaseModel
@@ -208,8 +209,13 @@ class BaseMultiVAE(BaseModel):
         """Extra network groups: name -> params tree (override)."""
         return {}
 
+    @init_on_host
     def init_params(self, rng=None):
-        """Initialize all parameters; stored in ``self.params``."""
+        """Initialize all parameters; stored in ``self.params``.
+
+        Runs on the host CPU backend and transfers once (tunnel-bound
+        accelerator compiles otherwise dominate construction; see
+        ``utils/host_init.py``)."""
         if rng is None:
             rng = self.next_rng()
         keys = jax.random.split(rng, 2 * len(self.encoders) + 2)

@@ -28,6 +28,7 @@ from ...nn.default_architectures import (
 )
 from ...ops.dists import set_decoder_dist
 from ...ops.gaussian import kl_divergence, rsample_from_gaussian
+from ...utils.host_init import init_on_host
 from ...utils.model_output import ModelOutput
 from ..base.base_model import BaseModel
 from ..base.step import StepInfo
@@ -125,6 +126,7 @@ class CVAE(BaseModel):
             )
         return {m: jnp.zeros((1, *dims[m])) for m in dims}
 
+    @init_on_host
     def init_params(self, rng=None):
         if rng is None:
             rng = self.next_rng()

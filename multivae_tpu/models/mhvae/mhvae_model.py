@@ -28,6 +28,7 @@ def _sum_trailing(x):
     (C, H, W) latents, ``examples/mhvae/architectures_mmnist.py``)."""
     return x.reshape(x.shape[0], -1).sum(-1, dtype=jnp.float32)
 from ...ops.subsets import all_subsets
+from ...utils.host_init import init_on_host
 from ...utils.model_output import ModelOutput
 from ..base.base_ae_model import BaseMultiVAE, sum_except_batch
 from ..base.step import StepInfo
@@ -142,6 +143,7 @@ class MHVAE(BaseMultiVAE):
         ``init_params_with_batch``)."""
         return None
 
+    @init_on_host
     def init_params_with_batch(self, batch: MultimodalBatch, rng=None):
         if rng is None:
             rng = self.next_rng()

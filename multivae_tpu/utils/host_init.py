@@ -1,0 +1,58 @@
+"""Host-side parameter initialization.
+
+The reference initializes on CPU by torch default; here, on an
+accelerator backend every flax ``Module.init`` is its own compiled
+program, and on tunneled/remote TPUs those per-module compiles dominate
+model CONSTRUCTION (measured on the v5e tunnel: ~200 s to build the
+10-network conv MVTCAE eagerly vs ~3 s when the init programs compile on
+the host CPU backend). ``init_on_host`` runs an ``init_params``-style
+method under the host CPU device and transfers the finished pytree to
+the default device in one ``device_put``. Results are bit-identical:
+``jax.random`` is backend-invariant.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+
+def _host_cpu_device():
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except (RuntimeError, IndexError):  # pragma: no cover - no cpu backend
+        return None
+
+
+def init_on_host(init_fn):
+    """Decorator for ``init_params`` methods: run the init computation on
+    the host CPU backend, then move the result to the default device.
+
+    Falls back to the undecorated behavior when the default device IS the
+    CPU (tests, CPU runs) or when host-side init fails (e.g. the inputs
+    are already committed to an accelerator)."""
+
+    @functools.wraps(init_fn)
+    def wrapped(self, *args, **kwargs):
+        default = jax.devices()[0]
+        cpu = _host_cpu_device()
+        if cpu is None or default.platform == "cpu":
+            return init_fn(self, *args, **kwargs)
+        try:
+            with jax.default_device(cpu):
+                params = init_fn(self, *args, **kwargs)
+        except Exception:  # pragma: no cover - committed-input edge cases
+            logger.info(
+                "host-side init failed; retrying on the default device")
+            return init_fn(self, *args, **kwargs)
+        if params is None:
+            return params
+        params = jax.device_put(params, default)
+        self.params = params
+        return params
+
+    return wrapped
