@@ -353,3 +353,32 @@ def test_maybe_init_distributed(monkeypatch):
     maybe_init_distributed("host:1234", num_processes=2, process_id=1)
     assert calls == [{"coordinator_address": "host:1234",
                       "num_processes": 2, "process_id": 1}]
+
+
+def test_init_on_host_passthrough_and_return():
+    """On a CPU default device the decorator is a pass-through; it must
+    preserve the (params, self.params) contract either way."""
+    import jax.numpy as jnp
+
+    from multivae_tpu.utils.host_init import init_on_host
+
+    calls = []
+
+    class M:
+        params = None
+
+        @init_on_host
+        def init_params(self, rng=None):
+            calls.append(rng)
+            self.params = {"w": jnp.ones(2)}
+            return self.params
+
+        @init_on_host
+        def lazy_init(self):
+            return None  # MHVAE-style deferred init
+
+    m = M()
+    out = m.init_params(rng="r")
+    assert calls == ["r"]
+    assert out is m.params
+    assert m.lazy_init() is None
