@@ -364,6 +364,11 @@ class BaseMultiVAE(BaseModel):
     # False.
     supports_per_sample_conditioning = False
 
+    # True on models whose _encode_masked takes an explicit
+    # ``per_sample`` keyword (posterior-vs-prior select per row is an
+    # opt-in deviating from the reference's public-encode semantics).
+    masked_encode_per_sample_flag = False
+
     def subset_indicator(self, cond_mod: tuple) -> jnp.ndarray:
         """(M,) float indicator of ``cond_mod`` in encoder order."""
         return jnp.asarray(

@@ -39,6 +39,7 @@ class DMVAE(BaseMultiVAE):
 
     model_name = "DMVAE"
     supports_per_sample_conditioning = True
+    masked_encode_per_sample_flag = True
 
     def __init__(self, model_config: DMVAEConfig, encoders: dict = None,
                  decoders: dict = None, seed: int = 0):

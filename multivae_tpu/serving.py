@@ -145,6 +145,12 @@ class Predictor:
 
     def __call__(self, data: Dict[str, np.ndarray]) -> ModelOutput:
         n = _request_batch_size(data)
+        missing = set(self.cond_mod) - set(data)
+        if missing:
+            raise ValueError(
+                f"Request is missing the compiled conditioning modalities "
+                f"{sorted(missing)} (endpoint conditions on "
+                f"{list(self.cond_mod)}).")
         if n > self.batch_size:
             raise ValueError(
                 f"Request batch {n} exceeds compiled batch_size "
@@ -207,11 +213,8 @@ class AnySubsetPredictor:
         # models with a per-row posterior-vs-prior select (DMVAE) take an
         # explicit flag: the public encode keeps reference semantics, the
         # per-row endpoint opts in
-        import inspect
-
         self._encode_kwargs = {}
-        if "per_sample" in inspect.signature(
-                model._encode_masked).parameters:
+        if getattr(model, "masked_encode_per_sample_flag", False):
             self._encode_kwargs["per_sample"] = True
         self._call = jax.jit(self._predict_fn)
 
@@ -256,6 +259,11 @@ class AnySubsetPredictor:
     def __call__(self, data: Dict[str, np.ndarray],
                  masks: Dict[str, np.ndarray] = None) -> ModelOutput:
         masks = masks or {}
+        unknown = (set(data) | set(masks)) - set(self.mods)
+        if unknown:
+            raise ValueError(
+                f"Unknown modalities in the request: {sorted(unknown)}; "
+                f"this model has {self.mods}.")
         n = _request_batch_size(data)
         for m, v in masks.items():
             if np.asarray(v).shape[0] != n:

@@ -3,9 +3,10 @@
 The reference initializes on CPU by torch default; here, on an
 accelerator backend every flax ``Module.init`` is its own compiled
 program, and on tunneled/remote TPUs those per-module compiles dominate
-model CONSTRUCTION (measured on the v5e tunnel: ~200 s to build the
-10-network conv MVTCAE eagerly vs ~3 s when the init programs compile on
-the host CPU backend). ``init_on_host`` runs an ``init_params``-style
+model CONSTRUCTION (measured on the v5e tunnel: ~14 s per conv
+module initialized on-device vs ~6 s compiling the same init on the host
+CPU backend — the 10-network conv MVTCAE constructs in ~26 s idle, and
+several minutes on-device under host load). ``init_on_host`` runs an ``init_params``-style
 method under the host CPU device and transfers the finished pytree to
 the default device in one ``device_put``. Results are bit-identical:
 ``jax.random`` is backend-invariant.
@@ -38,7 +39,12 @@ def init_on_host(init_fn):
 
     @functools.wraps(init_fn)
     def wrapped(self, *args, **kwargs):
-        default = jax.devices()[0]
+        # the device params should land on: the user-configured default
+        # if any, else the first LOCAL device (jax.devices()[0] may be
+        # non-addressable on processes > 0 in multi-host runs)
+        default = getattr(jax.config, "jax_default_device", None)
+        if default is None or not hasattr(default, "platform"):
+            default = jax.local_devices()[0]
         cpu = _host_cpu_device()
         if cpu is None or default.platform == "cpu":
             return init_fn(self, *args, **kwargs)

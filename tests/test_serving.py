@@ -173,3 +173,25 @@ def test_any_subset_predictor_multilatent_per_row():
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(out[m][2:], np.asarray(ref1[m]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_serving_request_validation(model):
+    from multivae_tpu.serving import AnySubsetPredictor
+
+    pred = Predictor(model, cond_mod=["mod1", "mod2"], gen_mod=["mod3"],
+                     batch_size=4)
+    with pytest.raises(ValueError, match="missing the compiled"):
+        pred({"mod1": np.zeros((2, *DIMS["mod1"]), np.float32)})
+    with pytest.raises(ValueError, match="Empty request"):
+        pred({})
+
+    any_pred = AnySubsetPredictor(model, batch_size=4)
+    with pytest.raises(ValueError, match="Unknown modalities"):
+        any_pred({"mod1": np.zeros((2, *DIMS["mod1"]), np.float32),
+                  "typo": np.zeros((2, 3), np.float32)})
+    with pytest.raises(ValueError, match="share the leading"):
+        any_pred({"mod1": np.zeros((2, *DIMS["mod1"]), np.float32),
+                  "mod2": np.zeros((3, *DIMS["mod2"]), np.float32)})
+    with pytest.raises(ValueError, match="masks\\['mod1'\\]"):
+        any_pred({"mod1": np.zeros((2, *DIMS["mod1"]), np.float32)},
+                 masks={"mod1": np.ones(3, np.float32)})
