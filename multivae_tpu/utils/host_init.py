@@ -17,7 +17,10 @@ from __future__ import annotations
 import functools
 import logging
 
+import numpy as np
+
 import jax
+import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
 
@@ -57,7 +60,13 @@ def init_on_host(init_fn):
             return init_fn(self, *args, **kwargs)
         if params is None:
             return params
-        params = jax.device_put(params, default)
+        # UNCOMMITTED transfer to the default device. An explicit
+        # jax.device_put(..., device) commits the arrays, and on the
+        # axon TPU plugin committed donated-state inputs fall off the
+        # fast execution path (measured: 53 vs 4,184 steps/s on the SAME
+        # jitted train step) — jnp.asarray reproduces the placement
+        # semantics of on-device init outputs.
+        params = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), params)
         self.params = params
         return params
 
