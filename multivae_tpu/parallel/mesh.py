@@ -175,7 +175,16 @@ def combined_state_sharding(state, mesh: Mesh, fsdp: bool = False,
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch pytree with the batch axis sharded."""
+    """Device-put a host batch pytree with the batch axis sharded.
+
+    On a SINGLE-device mesh the sharded put is a semantic no-op but
+    produces COMMITTED arrays, which fall off the axon TPU plugin's fast
+    execution path (see ``utils/host_init.py``) — plain uncommitted
+    device_put there."""
+    if mesh.size == 1 and jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x: None if x is None else jax.device_put(x), batch,
+            is_leaf=lambda x: x is None)
     sharding = batch_sharding(mesh)
     multi_host = jax.process_count() > 1
 

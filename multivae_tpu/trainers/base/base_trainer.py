@@ -277,6 +277,13 @@ class BaseTrainer:
                 "metrics": out.get("metrics", {}),
             }
 
+        if self.mesh.size == 1:
+            # single-device: explicit shardings are semantic no-ops but
+            # their COMMITTED outputs fall off the axon plugin's fast
+            # execution path (measured 80x; see utils/host_init.py) —
+            # plain jit keeps placement uncommitted
+            self._train_step_fn = jax.jit(step_fn, donate_argnums=(0,))
+            return self._train_step_fn
         state_sh = self._state_sharding(rep)
         self._train_step_fn = jax.jit(
             step_fn, donate_argnums=(0,),
@@ -319,6 +326,9 @@ class BaseTrainer:
             return {"loss_sum": out["loss_sum"],
                     "metrics": out.get("metrics", {})}
 
+        if self.mesh.size == 1:
+            self._eval_step_fn = jax.jit(eval_fn)
+            return self._eval_step_fn
         self._eval_step_fn = jax.jit(
             eval_fn,
             in_shardings=(self._params_sharding(rep), bsh, rep, rep),
