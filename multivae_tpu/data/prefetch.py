@@ -16,6 +16,10 @@ import threading
 
 from ..parallel.mesh import shard_batch
 
+# Grace period for the producer to exit on consumer shutdown before the
+# thread is handed to the NEXT __iter__ to finish joining (see below).
+_JOIN_TIMEOUT = 5.0
+
 
 class PrefetchLoader:
     """Wrap a DataLoader with a device-put prefetching thread.
@@ -30,6 +34,7 @@ class PrefetchLoader:
         self.loader = loader
         self.mesh = mesh
         self.depth = depth
+        self._prev_thread: threading.Thread | None = None
 
     def set_epoch(self, epoch: int):
         self.loader.set_epoch(epoch)
@@ -38,6 +43,13 @@ class PrefetchLoader:
         return len(self.loader)
 
     def __iter__(self):
+        # A previous producer can outlive its 5 s grace join (blocked
+        # inside self.loader's own iteration rather than in put()); wait
+        # for it here so two producers never iterate the underlying
+        # loader concurrently.
+        if self._prev_thread is not None and self._prev_thread.is_alive():
+            self._prev_thread.join()
+        self._prev_thread = None
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         sentinel = object()
         stop = threading.Event()
@@ -81,6 +93,8 @@ class PrefetchLoader:
                     q.get_nowait()
             except queue.Empty:
                 pass
-            thread.join(timeout=5)
+            thread.join(timeout=_JOIN_TIMEOUT)
+            if thread.is_alive():
+                self._prev_thread = thread
         if error:
             raise error[0]

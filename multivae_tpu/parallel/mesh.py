@@ -161,12 +161,24 @@ def combined_state_sharding(state, mesh: Mesh, fsdp: bool = False,
                 getattr(x, "dtype", jnp.float32), jnp.floating)):
             return NamedSharding(mesh, P())
         dims = [None] * len(shape)
-        if (fsdp and shape[0] % data_n == 0
-                and int(np.prod(shape)) >= min_size):
-            dims[0] = DATA_AXIS
-        if (tp and shape[-1] % model_n == 0 and shape[-1] >= min_dim
-                and dims[-1] is None):
-            dims[-1] = MODEL_AXIS
+        col_ok = tp and shape[-1] % model_n == 0 and shape[-1] >= min_dim
+        if len(shape) == 1:
+            # bias-like 1-D leaf: the Megatron column rule wins over the
+            # fsdp leading-axis rule, so a bias lands on the SAME axis as
+            # its kernel's output columns — sharding it over "data"
+            # instead would force a per-step resharding collective
+            # between the matmul output and the bias add.
+            if col_ok:
+                dims[-1] = MODEL_AXIS
+            elif (fsdp and shape[0] % data_n == 0
+                    and int(np.prod(shape)) >= min_size):
+                dims[0] = DATA_AXIS
+        else:
+            if (fsdp and shape[0] % data_n == 0
+                    and int(np.prod(shape)) >= min_size):
+                dims[0] = DATA_AXIS
+            if col_ok and dims[-1] is None:
+                dims[-1] = MODEL_AXIS
         if all(d is None for d in dims):
             return NamedSharding(mesh, P())
         return NamedSharding(mesh, P(*dims))

@@ -264,6 +264,13 @@ class AnySubsetPredictor:
             raise ValueError(
                 f"Unknown modalities in the request: {sorted(unknown)}; "
                 f"this model has {self.mods}.")
+        orphan = set(masks) - set(data)
+        if orphan:
+            raise ValueError(
+                f"masks provided for modalities absent from data: "
+                f"{sorted(orphan)}. A mask qualifies rows of a provided "
+                "modality; to mark a modality absent, omit it from data "
+                "(and from masks).")
         n = _request_batch_size(data)
         for m, v in masks.items():
             if np.asarray(v).shape[0] != n:

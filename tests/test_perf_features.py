@@ -131,6 +131,57 @@ def test_prefetch_loader_early_exit_no_thread_leak(dataset):
     assert threading.active_count() <= before, "producer thread leaked"
 
 
+def test_prefetch_reiteration_waits_for_previous_producer(dataset,
+                                                          monkeypatch):
+    """Re-iterating a PrefetchLoader must never run two producers over the
+    underlying loader concurrently, even when the first producer outlives
+    the shutdown grace join blocked inside the loader's own iteration
+    (advisor r2 finding)."""
+    import threading
+    import time
+
+    from multivae_tpu.data import prefetch as prefetch_mod
+    from multivae_tpu.data.loader import DataLoader
+    from multivae_tpu.data.prefetch import PrefetchLoader
+    from multivae_tpu.parallel.mesh import get_data_mesh
+
+    monkeypatch.setattr(prefetch_mod, "_JOIN_TIMEOUT", 0.01)
+
+    class SlowLoader:
+        def __init__(self, inner):
+            self.inner = inner
+            self.active = 0
+            self.max_active = 0
+            self.lock = threading.Lock()
+
+        def set_epoch(self, e):
+            self.inner.set_epoch(e)
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __iter__(self):
+            with self.lock:
+                self.active += 1
+                self.max_active = max(self.max_active, self.active)
+            try:
+                for b in self.inner:
+                    time.sleep(0.2)  # slower than the patched grace join
+                    yield b
+            finally:
+                with self.lock:
+                    self.active -= 1
+
+    mesh = get_data_mesh(1)
+    slow = SlowLoader(DataLoader(dataset, 2, shuffle=False))
+    pref = PrefetchLoader(slow, mesh, depth=1)
+    it = iter(pref)
+    next(it)
+    it.close()  # producer likely still sleeping inside SlowLoader
+    list(pref)  # second epoch must first wait out the first producer
+    assert slow.max_active == 1, "two producers iterated concurrently"
+
+
 def test_native_gather_various_shapes():
     from multivae_tpu.data.native_gather import gather_rows
 

@@ -195,3 +195,8 @@ def test_serving_request_validation(model):
     with pytest.raises(ValueError, match="masks\\['mod1'\\]"):
         any_pred({"mod1": np.zeros((2, *DIMS["mod1"]), np.float32)},
                  masks={"mod1": np.ones(3, np.float32)})
+    # a mask for a modality absent from data is rejected, not silently
+    # treated as fully-absent (advisor r2 finding)
+    with pytest.raises(ValueError, match="absent from data"):
+        any_pred({"mod1": np.zeros((2, *DIMS["mod1"]), np.float32)},
+                 masks={"mod2": np.ones(2, np.float32)})

@@ -309,6 +309,77 @@ def test_orbax_checkpoint_with_fsdp_sharded_state(dataset, tmp_path):
     assert np.isfinite(l2)
 
 
+def test_orbax_restore_single_device_uncommitted(model, dataset, tmp_path):
+    """On a single-device mesh the orbax-restored TrainState must be
+    UNCOMMITTED: committed train-state inputs fall off the axon TPU
+    plugin's fast execution path (measured 53 vs 4,184 steps/s; advisor
+    r2 medium finding)."""
+    cfg = small_config(tmp_path, num_epochs=1, steps_saving=1,
+                       checkpoint_backend="orbax")
+    trainer = BaseTrainer(model, dataset, training_config=cfg)
+    trainer.train()
+    ckpt = os.path.join(trainer.training_dir, "checkpoint_epoch_1")
+
+    model2 = MVTCAE(model.model_config, seed=0)
+    trainer2 = BaseTrainer(
+        model2, dataset,
+        training_config=small_config(tmp_path / "r", num_epochs=2,
+                                     checkpoint_backend="orbax"),
+        checkpoint=ckpt)
+    for leaf in jax.tree_util.tree_leaves(trainer2.state):
+        assert not getattr(leaf, "committed", False), (
+            "orbax restore produced a COMMITTED array on a single-device "
+            "mesh")
+    loss, _ = trainer2.train_step(2)
+    assert np.isfinite(loss)
+
+
+def test_orbax_restore_cross_topology(dataset, tmp_path):
+    """The operational point of sharded checkpoints: a TrainState saved on
+    an (8-device, fsdp) trainer restores into DIFFERENT topologies —
+    (4-device, fsdp), (8-device, replicated) and (1-device) — because the
+    restore targets are built from the RESTORING trainer's shardings, not
+    the saving trainer's. Params must match exactly and the next step must
+    be finite on every topology.
+
+    Parity anchor: reference resume semantics
+    ``src/multivae/trainers/base/base_trainer.py:390-427`` (torch state
+    dicts are topology-free; the sharded-orbax equivalent must be too)."""
+    cfg_model = MVTCAEConfig(
+        n_modalities=2, latent_dim=8,
+        input_dims={"mod1": (2,), "mod2": (3,)},
+    )
+    saver = BaseTrainer(
+        MVTCAE(cfg_model, seed=0), dataset, eval_dataset=dataset,
+        training_config=small_config(tmp_path / "s", num_epochs=1,
+                                     steps_saving=1, n_devices=8,
+                                     per_device_train_batch_size=2,
+                                     fsdp=True, checkpoint_backend="orbax"))
+    saver.train()
+    ckpt = os.path.join(saver.training_dir, "checkpoint_epoch_1")
+    ref_leaves = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(saver.state.params)]
+
+    topologies = [
+        dict(n_devices=4, per_device_train_batch_size=4, fsdp=True),
+        dict(n_devices=8, per_device_train_batch_size=2, fsdp=False),
+        dict(n_devices=1, per_device_train_batch_size=16, fsdp=False),
+    ]
+    for i, topo in enumerate(topologies):
+        t = BaseTrainer(
+            MVTCAE(cfg_model, seed=1 + i), dataset,
+            training_config=small_config(tmp_path / f"r{i}", num_epochs=2,
+                                         checkpoint_backend="orbax", **topo),
+            checkpoint=ckpt)
+        assert t.trained_epochs == 1
+        got = [np.asarray(x)
+               for x in jax.tree_util.tree_leaves(t.state.params)]
+        for a, b in zip(ref_leaves, got):
+            np.testing.assert_array_equal(a, b)
+        loss, _ = t.train_step(2)
+        assert np.isfinite(loss), f"non-finite step after restore: {topo}"
+
+
 def test_checkpoint_backend_validation():
     with pytest.raises(AttributeError):
         BaseTrainerConfig(checkpoint_backend="pickle")
@@ -416,6 +487,19 @@ def test_combined_state_sharding_rules():
     assert specs["odd"].spec == P()
     assert specs["narrow"].spec == P()
     assert specs["ints"].spec == P()
+
+    # a WIDE bias (>= fsdp min_size) must still follow the Megatron column
+    # rule, not the fsdp leading-axis rule: sharding it over "data" while
+    # its kernel's output columns shard over "model" would force a
+    # per-step resharding collective at the bias add (advisor r2 finding)
+    wide = {"kernel": jnp.zeros((512, 2048)), "bias": jnp.zeros((2048,))}
+    specs = combined_state_sharding(wide, mesh, fsdp=True)
+    assert specs["kernel"].spec == P("data", "model")
+    assert specs["bias"].spec == P("model")
+    # a wide 1-D leaf the column rule can't take still falls back to fsdp
+    specs = combined_state_sharding({"v": jnp.zeros((4096,))}, mesh,
+                                    fsdp=True, min_dim=8000)
+    assert specs["v"].spec == P("data")  # col rule off (min_dim), fsdp on
 
 
 def test_n_model_devices_validation():
