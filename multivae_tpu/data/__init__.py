@@ -6,14 +6,17 @@ from .datasets.base import (
     ResampleDataset,
     random_split,
 )
+from .device_cache import DeviceDataCache, build_device_cache
 from .loader import DataLoader
 
 __all__ = [
     "DataLoader",
     "DatasetOutput",
+    "DeviceDataCache",
     "IncompleteDataset",
     "MultimodalBaseDataset",
     "MultimodalBatch",
     "ResampleDataset",
+    "build_device_cache",
     "random_split",
 ]

@@ -1,0 +1,173 @@
+"""Device-resident dataset cache: train an epoch with ZERO per-step
+host->device data transfers.
+
+The reference streams every batch from the host each step, forever
+(``src/multivae/trainers/base/base_trainer.py:196-222,664-687`` — torch
+DataLoader feeding a CUDA device). On TPU the host link is the usual
+end-to-end bottleneck (measured here: a 5,000+ steps/s device step driven
+at ~10 steps/s through a 45 MB/s host link). Benchmark-scale multimodal
+datasets, however, fit comfortably in HBM (PolyMNIST u8 is ~0.9 GB vs
+15.75 GB on a v5e chip), so the TPU-native pipeline is:
+
+- upload the WHOLE dataset pytree (data + masks + labels) to the device
+  once, at trainer construction;
+- per epoch, upload only the loader's ``epoch_plan`` — a tiny
+  (n_batches, batch) int32 index matrix + float32 weight matrix
+  (the permutation is still computed on host with the same seeded numpy
+  RNG, so batches are bit-identical to the host loader's);
+- per step, gather the batch rows from HBM *inside* the jitted train
+  step: the epoch runs with no host->device traffic at all.
+
+``build`` returns None (with a logged reason) instead of a cache whenever
+the dataset cannot be cached safely: over the HBM budget, multi-host
+training (each process holds only its shard), or a dataset whose
+``get_batch`` fails on bulk indexing.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+
+@flax.struct.dataclass
+class DeviceDataCache:
+    """The dataset as a device-resident pytree.
+
+    Attributes:
+        data: modality -> (n, *dims) device array (nested dicts allowed,
+            mirroring the CUB text convention).
+        masks: modality -> (n,) float availability mask.
+        labels: optional (n,) labels.
+        incomplete: STATIC flag — did the dataset declare masks?
+    """
+
+    data: Dict[str, Any]
+    masks: Dict[str, Any]
+    labels: Optional[jnp.ndarray] = None
+    incomplete: bool = flax.struct.field(pytree_node=False, default=False)
+
+    def gather(self, idx: jnp.ndarray, weights: jnp.ndarray):
+        """Assemble the jit-internal batch for the given index row.
+
+        Pure; meant to be called INSIDE a jitted step. Returns a
+        ``MultimodalBatch`` identical to what the host ``DataLoader``
+        would have produced for the same ``epoch_plan`` row.
+        """
+        from .batch import MultimodalBatch
+
+        take = lambda x: jnp.take(x, idx, axis=0)  # noqa: E731
+        labels = None if self.labels is None else take(self.labels)
+        return MultimodalBatch(
+            data=jax.tree.map(take, self.data),
+            masks=jax.tree.map(take, self.masks),
+            weights=weights,
+            labels=labels,
+            incomplete=self.incomplete,
+        )
+
+
+def estimate_dataset_nbytes(dataset) -> int:
+    """Estimated host bytes of the fully-materialized dataset (one sample
+    materialized through ``get_batch``, scaled by len)."""
+    raw = dataset.get_batch(np.asarray([0]))
+
+    def nbytes(tree) -> int:
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(tree):
+            total += int(np.asarray(leaf).nbytes)
+        return total
+
+    per_sample = nbytes(raw["data"]) + nbytes(raw.get("masks", {}))
+    labels = raw.get("labels", None)
+    if labels is not None:
+        per_sample += int(np.asarray(labels).nbytes)
+    return per_sample * len(dataset)
+
+
+def build_device_cache(dataset, mesh, budget_bytes: int,
+                       chunk: int = 4096) -> Optional[DeviceDataCache]:
+    """Materialize + upload the dataset; None when caching is unsafe.
+
+    Single-device mesh: leaves are transferred UNCOMMITTED
+    (``jnp.asarray``) — committed arrays fall off the axon TPU plugin's
+    fast execution path (see ``utils/host_init.py``). Multi-device:
+    replicated NamedSharding device_put (each device holds the full
+    dataset; the per-step gather is then local and XLA shards the
+    gathered batch over the data axis from the step's output sharding).
+    """
+    if jax.process_count() > 1:
+        logger.info(
+            "cache_on_device: disabled under multi-host training (each "
+            "process holds only its data shard); using the host loader.")
+        return None
+    try:
+        est = estimate_dataset_nbytes(dataset)
+    except Exception as e:
+        logger.warning(
+            "cache_on_device: dataset does not support bulk indexing "
+            "(%s); using the host loader.", e)
+        return None
+    if est > budget_bytes:
+        logger.warning(
+            "cache_on_device: dataset ~%.2f GB exceeds the device cache "
+            "budget %.2f GB; using the host loader.",
+            est / 1e9, budget_bytes / 1e9)
+        return None
+
+    n = len(dataset)
+    # materialize in chunks (bounds the transient host working set and
+    # keeps per-call numpy allocations reasonable for image datasets)
+    try:
+        parts = [dataset.get_batch(np.arange(s, min(s + chunk, n)))
+                 for s in range(0, n, chunk)]
+    except Exception as e:
+        logger.warning(
+            "cache_on_device: dataset failed bulk indexing (%s); using "
+            "the host loader.", e)
+        return None
+
+    def cat(path_values):
+        return np.concatenate([np.asarray(v) for v in path_values], axis=0)
+
+    first = parts[0]
+    data = jax.tree.map(lambda *xs: cat(xs), *[p["data"] for p in parts])
+    raw_masks = first.get("masks", None)
+    incomplete = raw_masks is not None
+    if incomplete:
+        masks = jax.tree.map(
+            lambda *xs: cat(xs).astype(np.float32).reshape(-1),
+            *[p["masks"] for p in parts])
+        masks = {k: masks[k] for k in data}
+    else:
+        masks = {k: np.ones((n,), np.float32) for k in data}
+    labels = None
+    if first.get("labels", None) is not None:
+        labels = cat([p["labels"] for p in parts])
+
+    if mesh.size == 1:
+        put = jnp.asarray  # uncommitted (axon fast path)
+    else:
+        from ..parallel.mesh import replicated_sharding
+
+        rep = replicated_sharding(mesh)
+        put = lambda x: jax.device_put(x, rep)  # noqa: E731
+
+    cache = DeviceDataCache(
+        data=jax.tree.map(put, data),
+        masks=jax.tree.map(put, masks),
+        labels=None if labels is None else put(labels),
+        incomplete=incomplete,
+    )
+    logger.info(
+        "cache_on_device: dataset resident in HBM (~%.3f GB, %d samples); "
+        "epochs run with no per-step host transfers.", est / 1e9, n)
+    return cache

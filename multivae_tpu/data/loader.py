@@ -72,12 +72,23 @@ class DataLoader:
             return rng.permutation(n)
         return np.arange(n)
 
-    def __iter__(self) -> Iterator[MultimodalBatch]:
+    def epoch_plan(self) -> tuple:
+        """The epoch's full batch composition as two host arrays.
+
+        Returns ``(idx, weights)`` of shape (n_batches, per_process_batch):
+        row b holds this process's dataset indices for batch b and the
+        matching sample weights (0 on wrap-around padding rows). This is
+        THE definition of an epoch — ``__iter__`` gathers from it, and the
+        device-resident cache path uploads it and gathers on device, so
+        both paths see bit-identical batches by construction.
+        """
         perm = self._epoch_permutation()
-        n = len(perm)
         bs = self.batch_size
         n_batches = len(self)
         local = self.per_process_batch
+        lo = self.process_index * local
+        idx_rows = np.empty((n_batches, local), dtype=np.int32)
+        w_rows = np.ones((n_batches, local), dtype=np.float32)
         for b in range(n_batches):
             idx = perm[b * bs: (b + 1) * bs]
             pad = bs - len(idx)
@@ -86,12 +97,16 @@ class DataLoader:
                 # pads carry zero weight
                 idx = np.concatenate([idx, np.resize(perm, pad)])
             # carve out this process's slice of the global batch
-            lo = self.process_index * local
-            local_idx = idx[lo: lo + local]
-            weights = np.ones(bs, dtype=np.float32)
+            idx_rows[b] = idx[lo: lo + local]
             if pad:
+                weights = np.ones(bs, dtype=np.float32)
                 weights[bs - pad:] = 0.0
-            local_w = weights[lo: lo + local]
+                w_rows[b] = weights[lo: lo + local]
+        return idx_rows, w_rows
+
+    def __iter__(self) -> Iterator[MultimodalBatch]:
+        idx_rows, w_rows = self.epoch_plan()
+        for local_idx, local_w in zip(idx_rows, w_rows):
             raw = self.dataset.get_batch(local_idx)
             masks = raw.get("masks", None)
             yield batch_from_arrays(

@@ -179,6 +179,28 @@ class BaseTrainer:
 
         self._train_step_fn = None
         self._eval_step_fn = None
+        self._cached_train_fns = {}
+        self._cached_eval_fns = {}
+
+        # Device-resident dataset caches (TPU-native: see data/device_cache)
+        self._train_cache = None
+        self._eval_cache = None
+        if training_config.cache_on_device:
+            from ...data.device_cache import (
+                build_device_cache,
+                estimate_dataset_nbytes,
+            )
+
+            budget = int(training_config.device_cache_budget_gb * 1e9)
+            self._train_cache = build_device_cache(
+                train_dataset, self.mesh, budget)
+            if eval_dataset is not None and self._train_cache is not None:
+                try:
+                    used = estimate_dataset_nbytes(train_dataset)
+                except Exception:  # pragma: no cover - estimated above
+                    used = 0
+                self._eval_cache = build_device_cache(
+                    eval_dataset, self.mesh, budget - used)
 
         self._run_model_sanity_check()
 
@@ -236,14 +258,11 @@ class BaseTrainer:
             ) from e
 
     # ------------------------------------------------------------- stepping
-    def _compiled_train_step(self):
-        if self._train_step_fn is not None:
-            return self._train_step_fn
+    def _build_step_body(self):
+        """The pure per-step update ``(state, batch, info) -> (state, out)``
+        shared by the per-batch jit and the device-cached scan paths."""
         model = self.model
         optimizer = self.optimizer
-        rep = replicated_sharding(self.mesh)
-        bsh = batch_sharding(self.mesh)
-
         mixed = self.training_config.mixed_precision
 
         def step_fn(state: TrainState, batch: MultimodalBatch, info: StepInfo):
@@ -276,6 +295,15 @@ class BaseTrainer:
                 "loss_sum": out["loss_sum"],
                 "metrics": out.get("metrics", {}),
             }
+
+        return step_fn
+
+    def _compiled_train_step(self):
+        if self._train_step_fn is not None:
+            return self._train_step_fn
+        rep = replicated_sharding(self.mesh)
+        bsh = batch_sharding(self.mesh)
+        step_fn = self._build_step_body()
 
         if self.mesh.size == 1:
             # single-device: explicit shardings are semantic no-ops but
@@ -311,13 +339,8 @@ class BaseTrainer:
         return combined_state_sharding(self.state.params, self.mesh,
                                        fsdp=cfg.fsdp)
 
-    def _compiled_eval_step(self):
-        if self._eval_step_fn is not None:
-            return self._eval_step_fn
+    def _build_eval_body(self):
         model = self.model
-        rep = replicated_sharding(self.mesh)
-        bsh = batch_sharding(self.mesh)
-
         loss_function = getattr(model, "eval_loss_function",
                                 model.loss_function)
 
@@ -325,6 +348,15 @@ class BaseTrainer:
             out = loss_function(params, batch, rng, info)
             return {"loss_sum": out["loss_sum"],
                     "metrics": out.get("metrics", {})}
+
+        return eval_fn
+
+    def _compiled_eval_step(self):
+        if self._eval_step_fn is not None:
+            return self._eval_step_fn
+        rep = replicated_sharding(self.mesh)
+        bsh = batch_sharding(self.mesh)
+        eval_fn = self._build_eval_body()
 
         if self.mesh.size == 1:
             self._eval_step_fn = jax.jit(eval_fn)
@@ -341,47 +373,261 @@ class BaseTrainer:
         MultistageTrainer)."""
         return best_train_loss, best_eval_loss
 
-    def train_step(self, epoch: int):
-        """One epoch over the train loader; returns (epoch_loss, metrics)."""
-        self.callback_handler.on_train_step_begin(
-            self.training_config, train_loader=self.train_loader, epoch=epoch,
-        )
-        step_fn = self._compiled_train_step()
-        self.train_loader.set_epoch(epoch)
+    @staticmethod
+    def _fetch_epoch_scalars(loss_sum_total, metric_sums):
+        """Materialize the epoch's device scalars in ONE device->host
+        transfer (each individual ``float(x)`` costs a full round trip —
+        measured 44 ms apiece through the TPU tunnel)."""
+        keys = list(metric_sums)
+        stacked = jnp.stack(
+            [jnp.asarray(loss_sum_total, jnp.float32)]
+            + [jnp.asarray(metric_sums[k], jnp.float32) for k in keys])
+        vals = np.asarray(stacked)
+        return float(vals[0]), {k: float(v)
+                                for k, v in zip(keys, vals[1:])}
+
+    _tree_copy_fn = None
+
+    def _tree_copy(self, tree):
+        """Whole-pytree device copy as one compiled dispatch."""
+        if self._tree_copy_fn is None:
+            self._tree_copy_fn = jax.jit(
+                lambda t: jax.tree.map(jnp.copy, t))
+        return self._tree_copy_fn(tree)
+
+    # ----------------------------------------- device-cached epoch paths
+    def _cache_put(self, x):
+        """Tiny per-epoch host arrays (index/weight plans) -> device."""
+        if self.mesh.size == 1 and jax.process_count() == 1:
+            return jnp.asarray(x)  # uncommitted (axon fast path)
+        return jax.device_put(x, replicated_sharding(self.mesh))
+
+    def _gather_fn(self):
+        """In-graph batch assembly from the device cache for batch ``b``
+        (weights already derived in-graph by the caller)."""
+        mesh = self.mesh
+        bsh = batch_sharding(mesh) if mesh.size > 1 else None
+
+        def gather(cache, idx_mat, w, b):
+            idx = jax.lax.dynamic_index_in_dim(idx_mat, b, keepdims=False)
+            batch = cache.gather(idx, w)
+            if bsh is not None:
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, bsh),
+                    batch)
+            return batch
+
+        return gather
+
+    def _in_graph_weights(self, loader):
+        """Per-batch sample weights computed IN-GRAPH from the loader's
+        static geometry — bit-identical to ``epoch_plan``'s weight rows
+        (zeros exactly on the final batch's wrap-around padding columns)
+        without uploading anything."""
+        n_batches = len(loader)
+        bs_global = loader.batch_size
+        local = loader.per_process_batch
+        lo = loader.process_index * local
+        pad = 0 if loader.drop_last else n_batches * bs_global - len(
+            loader.dataset)
+        cols = jnp.arange(local) + lo  # global column indices
+
+        def weights_for(b):
+            if pad == 0:
+                return jnp.ones((local,), jnp.float32)
+            is_last = (b == n_batches - 1)
+            return jnp.where(is_last & (cols >= bs_global - pad), 0.0,
+                             1.0).astype(jnp.float32)
+
+        return weights_for
+
+    def _compiled_cached_train_chunk(self, n_steps: int):
+        """One dispatch running ``n_steps`` train steps as a ``lax.scan``
+        over on-device-gathered batches. Per dispatch the host sends only
+        the scalars (start, epoch); the index plan is uploaded once per
+        epoch and the weight rows are derived in-graph."""
+        key = n_steps
+        if key in self._cached_train_fns:
+            return self._cached_train_fns[key]
+        step_body = self._build_step_body()
+        gather = self._gather_fn()
+        weights_for = self._in_graph_weights(self.train_loader)
         n_batches = len(self.train_loader)
-        dataset_size = len(self.train_dataset)
+        dataset_size = float(len(self.train_dataset))
 
-        from ...data.prefetch import PrefetchLoader
+        def chunk_fn(state, cache, idx_mat, start, epoch):
+            def body(state, i):
+                b = start + i
+                info = StepInfo(
+                    epoch=epoch,
+                    batch_ratio=b.astype(jnp.float32) / n_batches,
+                    dataset_size=jnp.asarray(dataset_size, jnp.float32),
+                )
+                batch = gather(cache, idx_mat, weights_for(b), b)
+                state, out = step_body(state, batch, info)
+                return state, out
 
-        prefetched = PrefetchLoader(self.train_loader, self.mesh, depth=2)
+            state, outs = jax.lax.scan(body, state,
+                                       jnp.arange(n_steps, dtype=jnp.int32))
+            return state, jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
+
+        if self.mesh.size == 1:
+            fn = jax.jit(chunk_fn, donate_argnums=(0,))
+        else:
+            rep = replicated_sharding(self.mesh)
+            state_sh = self._state_sharding(rep)
+            fn = jax.jit(
+                chunk_fn, donate_argnums=(0,),
+                in_shardings=(state_sh, rep, rep, rep, rep),
+                out_shardings=(state_sh, rep),
+            )
+        self._cached_train_fns[key] = fn
+        return fn
+
+    def _compiled_cached_eval_chunk(self, n_steps: int):
+        key = n_steps
+        if key in self._cached_eval_fns:
+            return self._cached_eval_fns[key]
+        eval_body = self._build_eval_body()
+        gather = self._gather_fn()
+        weights_for = self._in_graph_weights(self.eval_loader)
+        dataset_size = float(len(self.eval_dataset))
+
+        def chunk_fn(params, cache, idx_mat, start, rng, epoch):
+            def body(_, i):
+                b = start + i
+                # mirrors the host eval loop: one rng for the whole
+                # epoch, batch_ratio left at 0
+                info = StepInfo(
+                    epoch=epoch,
+                    batch_ratio=jnp.asarray(0.0, jnp.float32),
+                    dataset_size=jnp.asarray(dataset_size, jnp.float32),
+                )
+                batch = gather(cache, idx_mat, weights_for(b), b)
+                return None, eval_body(params, batch, rng, info)
+
+            _, outs = jax.lax.scan(body, None,
+                                   jnp.arange(n_steps, dtype=jnp.int32))
+            return jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
+
+        if self.mesh.size == 1:
+            fn = jax.jit(chunk_fn)
+        else:
+            rep = replicated_sharding(self.mesh)
+            fn = jax.jit(
+                chunk_fn,
+                in_shardings=(self._params_sharding(rep), rep, rep, rep,
+                              rep, rep),
+                out_shardings=rep,
+            )
+        self._cached_eval_fns[key] = fn
+        return fn
+
+    def _run_cached_train_epoch(self, epoch: int):
+        """Epoch over the HBM-resident dataset: uploads only the tiny
+        (n_batches, B) index plan once, then dispatches
+        ``steps_per_execution``-step scans carrying two scalars each."""
+        self.train_loader.set_epoch(epoch)
+        idx_mat, _ = self.train_loader.epoch_plan()
+        n_batches = len(self.train_loader)
+        idx_dev = self._cache_put(idx_mat)
+        epoch_arr = np.float32(epoch)
+        chunk = self.training_config.steps_per_execution
+
         loss_sum_total = None
         metric_sums = {}
-        for batch_idx, batch in enumerate(prefetched):
-            info = StepInfo.create(
-                epoch=epoch, batch_ratio=batch_idx / n_batches,
-                dataset_size=dataset_size,
-            )
-            self.state, out = step_fn(self.state, batch, info)
+        b = 0
+        while b < n_batches:
+            n = min(chunk, n_batches - b)
+            fn = self._compiled_cached_train_chunk(n)
+            self.state, out = fn(self.state, self._train_cache, idx_dev,
+                                 np.int32(b), epoch_arr)
             loss_sum_total = (
                 out["loss_sum"] if loss_sum_total is None
                 else loss_sum_total + out["loss_sum"]
             )
             update_dict(metric_sums, out["metrics"])
-            self.callback_handler.on_train_step_end(self.training_config)
+            for _ in range(n):
+                self.callback_handler.on_train_step_end(self.training_config)
+            b += n
+        return loss_sum_total, metric_sums
+
+    def _run_cached_eval_epoch(self, epoch: int):
+        self.eval_loader.set_epoch(epoch)
+        idx_mat, _ = self.eval_loader.epoch_plan()
+        n_batches = len(self.eval_loader)
+        idx_dev = self._cache_put(idx_mat)
+        epoch_arr = np.float32(epoch)
+        rng = jax.random.key(self.training_config.seed + 1000 + epoch)
+        chunk = self.training_config.steps_per_execution
+
+        loss_sum_total = None
+        metric_sums = {}
+        b = 0
+        while b < n_batches:
+            n = min(chunk, n_batches - b)
+            fn = self._compiled_cached_eval_chunk(n)
+            out = fn(self.state.params, self._eval_cache, idx_dev,
+                     np.int32(b), rng, epoch_arr)
+            loss_sum_total = (
+                out["loss_sum"] if loss_sum_total is None
+                else loss_sum_total + out["loss_sum"]
+            )
+            update_dict(metric_sums, out["metrics"])
+            for _ in range(n):
+                self.callback_handler.on_eval_step_end(self.training_config)
+            b += n
+        return loss_sum_total, metric_sums
+
+    def train_step(self, epoch: int):
+        """One epoch over the train loader; returns (epoch_loss, metrics)."""
+        self.callback_handler.on_train_step_begin(
+            self.training_config, train_loader=self.train_loader, epoch=epoch,
+        )
+        n_batches = len(self.train_loader)
+        dataset_size = len(self.train_dataset)
+
+        if self._train_cache is not None:
+            loss_sum_total, metric_sums = self._run_cached_train_epoch(epoch)
+        else:
+            step_fn = self._compiled_train_step()
+            self.train_loader.set_epoch(epoch)
+
+            from ...data.prefetch import PrefetchLoader
+
+            prefetched = PrefetchLoader(self.train_loader, self.mesh, depth=2)
+            loss_sum_total = None
+            metric_sums = {}
+            for batch_idx, batch in enumerate(prefetched):
+                info = StepInfo.create(
+                    epoch=epoch, batch_ratio=batch_idx / n_batches,
+                    dataset_size=dataset_size,
+                )
+                self.state, out = step_fn(self.state, batch, info)
+                loss_sum_total = (
+                    out["loss_sum"] if loss_sum_total is None
+                    else loss_sum_total + out["loss_sum"]
+                )
+                update_dict(metric_sums, out["metrics"])
+                self.callback_handler.on_train_step_end(self.training_config)
 
         # Expose the updated params to the model (epoch-end hooks, predict).
         # Copy: the TrainState is donated every step, which would otherwise
-        # delete these buffers out from under the model.
-        self.model.params = jax.tree.map(jnp.copy, self.state.params)
+        # delete these buffers out from under the model. The copy runs as
+        # ONE jitted program — per-leaf jnp.copy costs a dispatch per leaf
+        # (measured 54 ms/epoch through the TPU tunnel vs ~3 ms fused).
+        self.model.params = self._tree_copy(self.state.params)
         self.model.update()
         self.state = self.state.replace(
-            params=jax.tree.map(jnp.copy, self.model.params)
+            params=self._tree_copy(self.model.params)
         )
 
-        epoch_loss = float(loss_sum_total) / dataset_size
+        loss_sum, fetched = self._fetch_epoch_scalars(loss_sum_total,
+                                                      metric_sums)
+        epoch_loss = loss_sum / dataset_size
         if np.isnan(epoch_loss) or np.isinf(epoch_loss):
             raise ArithmeticError("NaN detected in train loss")
-        epoch_metrics = {k: float(v) / n_batches for k, v in metric_sums.items()}
+        epoch_metrics = {k: v / n_batches for k, v in fetched.items()}
         return epoch_loss, epoch_metrics
 
     def eval_step(self, epoch: int):
@@ -389,30 +635,36 @@ class BaseTrainer:
         self.callback_handler.on_eval_step_begin(
             self.training_config, eval_loader=self.eval_loader, epoch=epoch,
         )
-        eval_fn = self._compiled_eval_step()
         dataset_size = len(self.eval_dataset)
         n_batches = len(self.eval_loader)
-        rng = jax.random.key(self.training_config.seed + 1000 + epoch)
 
-        from ...data.prefetch import PrefetchLoader
+        if self._eval_cache is not None:
+            loss_sum_total, metric_sums = self._run_cached_eval_epoch(epoch)
+        else:
+            eval_fn = self._compiled_eval_step()
+            rng = jax.random.key(self.training_config.seed + 1000 + epoch)
 
-        prefetched = PrefetchLoader(self.eval_loader, self.mesh, depth=2)
-        loss_sum_total = None
-        metric_sums = {}
-        for batch in prefetched:
-            info = StepInfo.create(epoch=epoch, dataset_size=dataset_size)
-            out = eval_fn(self.state.params, batch, rng, info)
-            loss_sum_total = (
-                out["loss_sum"] if loss_sum_total is None
-                else loss_sum_total + out["loss_sum"]
-            )
-            update_dict(metric_sums, out["metrics"])
-            self.callback_handler.on_eval_step_end(self.training_config)
+            from ...data.prefetch import PrefetchLoader
 
-        epoch_loss = float(loss_sum_total) / dataset_size
+            prefetched = PrefetchLoader(self.eval_loader, self.mesh, depth=2)
+            loss_sum_total = None
+            metric_sums = {}
+            for batch in prefetched:
+                info = StepInfo.create(epoch=epoch, dataset_size=dataset_size)
+                out = eval_fn(self.state.params, batch, rng, info)
+                loss_sum_total = (
+                    out["loss_sum"] if loss_sum_total is None
+                    else loss_sum_total + out["loss_sum"]
+                )
+                update_dict(metric_sums, out["metrics"])
+                self.callback_handler.on_eval_step_end(self.training_config)
+
+        loss_sum, fetched = self._fetch_epoch_scalars(loss_sum_total,
+                                                      metric_sums)
+        epoch_loss = loss_sum / dataset_size
         if np.isnan(epoch_loss) or np.isinf(epoch_loss):
             raise ArithmeticError("NaN detected in eval loss")
-        epoch_metrics = {k: float(v) / n_batches for k, v in metric_sums.items()}
+        epoch_metrics = {k: v / n_batches for k, v in fetched.items()}
         return epoch_loss, epoch_metrics
 
     def _schedulers_step(self, metric=None):
@@ -479,17 +731,17 @@ class BaseTrainer:
                 self._schedulers_step(epoch_train_loss)
 
             if epoch <= self.start_keep_best_epoch:
-                self._best_params = jax.tree.map(jnp.copy, self.state.params)
+                self._best_params = self._tree_copy(self.state.params)
                 logger.info("New model saved!")
             elif (epoch_eval_loss < self.best_eval_loss
                   and not self.training_config.keep_best_on_train):
                 self.best_eval_loss = epoch_eval_loss
-                self._best_params = jax.tree.map(jnp.copy, self.state.params)
+                self._best_params = self._tree_copy(self.state.params)
                 logger.info("New best model on eval saved!")
             elif (epoch_train_loss < self.best_train_loss
                   and self.training_config.keep_best_on_train):
                 self.best_train_loss = epoch_train_loss
-                self._best_params = jax.tree.map(jnp.copy, self.state.params)
+                self._best_params = self._tree_copy(self.state.params)
                 logger.info("New best model on train saved!")
 
             if (self.training_config.steps_predict is not None
@@ -716,7 +968,10 @@ class BaseTrainer:
             # TrainState; the best-model snapshot stays in the msgpack
             # model files alongside.
             self.state = self._orbax_restore_state(checkpoint_dir)
-            self.model.params = self.state.params
+            # copy: the TrainState is donated every step — aliasing
+            # model.params to it would leave the model holding deleted
+            # buffers after the first resumed step
+            self.model.params = self._tree_copy(self.state.params)
             best = type(self.model)._load_params(checkpoint_dir)
             self._best_params = jax.tree.map(jnp.asarray, best)
             sch_path = os.path.join(checkpoint_dir, "scheduler.json")
@@ -729,6 +984,11 @@ class BaseTrainer:
         params = jax.tree.map(jnp.asarray, params)
         self.model.params = params
         self._best_params = params
+        # the TrainState below is donated every step: it must NOT share
+        # buffers with model.params/_best_params (the first resumed step
+        # would delete them — surfaced by the multistage resume test
+        # when no later epoch improved on the restored best)
+        params = self._tree_copy(params)
 
         opt_path = os.path.join(checkpoint_dir, "optimizer.msgpack")
         opt_state = self.optimizer.init(params)

@@ -62,6 +62,22 @@ class BaseTrainerConfig(BaseConfig):
             files) or "orbax" (sharded TrainState checkpointing: each
             host/device writes its own shards — no host gather, works with
             fsdp and multi-host; TPU-native extension).
+        cache_on_device: upload the dataset to HBM once and gather each
+            batch ON DEVICE inside the jitted step — epochs run with no
+            per-step host->device data transfers, with batches
+            bit-identical to the host loader's (the per-epoch shuffle
+            stays the same seeded host permutation). Falls back to the
+            host loader automatically (with a logged reason) when the
+            dataset exceeds ``device_cache_budget_gb``, under multi-host
+            training, or when the dataset doesn't support bulk indexing.
+            TPU-native extension, off by default.
+        device_cache_budget_gb: per-device HBM budget for the dataset
+            cache (train + eval combined must fit).
+        steps_per_execution: fuse this many train/eval steps into one
+            compiled ``lax.scan`` dispatch (requires cache_on_device).
+            Removes per-step host dispatch latency; per-step callbacks
+            still advance once per step, after each chunk. 1 = one
+            dispatch per step (default).
     """
 
     output_dir: Optional[str] = None
@@ -86,6 +102,9 @@ class BaseTrainerConfig(BaseConfig):
     num_processes: Union[int, None] = None
     process_id: Union[int, None] = None
     checkpoint_backend: str = "msgpack"
+    cache_on_device: bool = False
+    device_cache_budget_gb: float = 8.0
+    steps_per_execution: int = 1
 
     def __post_init__(self):
         if hasattr(super(), "__post_init__"):
@@ -101,6 +120,17 @@ class BaseTrainerConfig(BaseConfig):
             raise AttributeError(
                 "n_model_devices must be a positive integer, got "
                 f"{self.n_model_devices}."
+            )
+
+        if self.steps_per_execution < 1:
+            raise AttributeError(
+                "steps_per_execution must be a positive integer, got "
+                f"{self.steps_per_execution}."
+            )
+        if self.steps_per_execution > 1 and not self.cache_on_device:
+            raise AttributeError(
+                "steps_per_execution > 1 requires cache_on_device=True "
+                "(fused multi-step dispatch gathers batches on device)."
             )
 
         # Multi-host settings from the environment (reference reads

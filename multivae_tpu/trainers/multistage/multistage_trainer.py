@@ -33,6 +33,8 @@ class MultistageTrainer(BaseTrainer):
     def _invalidate_compiled(self):
         self._train_step_fn = None
         self._eval_step_fn = None
+        self._cached_train_fns = {}
+        self._cached_eval_fns = {}
 
     def prepare_train_step(self, epoch, best_train_loss, best_eval_loss):
         """Reference ``prepare_train_step``
@@ -48,11 +50,16 @@ class MultistageTrainer(BaseTrainer):
                 "Keeping the best model obtained until here for the rest of "
                 "training."
             )
-            if self.is_main_process:
-                self.save_checkpoint(dir_path=self.training_dir,
-                                     epoch=epoch - 1)
-            params = jax.tree.map(jnp.copy, self.best_params)
+            # NOT main-process-gated: with checkpoint_backend="orbax" the
+            # sharded TrainState save is a COLLECTIVE (every process must
+            # enter); host-side artifacts are gated inside save_checkpoint.
+            self.save_checkpoint(dir_path=self.training_dir,
+                                 epoch=epoch - 1)
+            params = self._tree_copy(self.best_params)
             model.params = params
+            # separate buffers for the donated TrainState (donation would
+            # otherwise delete model.params at the first post-reset step)
+            params = self._tree_copy(params)
             self.optimizer = make_optimizer(
                 self.training_config.optimizer_cls,
                 self.training_config.learning_rate,

@@ -1,0 +1,225 @@
+"""Device-resident dataset cache: HBM-cached epochs must be
+bit-identical to the host loader path.
+
+The cache (``data/device_cache.py``, trainer flag ``cache_on_device``)
+replaces the reference's per-step host->device streaming
+(``src/multivae/trainers/base/base_trainer.py:196-222,664-687``) with one
+upload + on-device gathers; these tests pin the contract that BOTH paths
+consume the exact same ``DataLoader.epoch_plan`` and therefore train the
+exact same trajectory.
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+import jax
+
+from multivae_tpu.data import IncompleteDataset, MultimodalBaseDataset
+from multivae_tpu.data.device_cache import (
+    build_device_cache,
+    estimate_dataset_nbytes,
+)
+from multivae_tpu.data.loader import DataLoader
+from multivae_tpu.models import MVAE, MVAEConfig, MVTCAE, MVTCAEConfig
+from multivae_tpu.parallel.mesh import get_data_mesh
+from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
+
+N = 37  # deliberately not a multiple of the batch size: exercises padding
+
+
+@pytest.fixture
+def dataset():
+    rng = np.random.default_rng(0)
+    data = {
+        "mod1": rng.normal(size=(N, 2)).astype(np.float32),
+        "mod2": rng.normal(size=(N, 3)).astype(np.float32),
+    }
+    return MultimodalBaseDataset(data, labels=rng.integers(0, 3, size=N))
+
+
+@pytest.fixture
+def incomplete_dataset():
+    rng = np.random.default_rng(1)
+    data = {
+        "mod1": rng.normal(size=(N, 2)).astype(np.float32),
+        "mod2": rng.normal(size=(N, 3)).astype(np.float32),
+    }
+    masks = {
+        "mod1": np.ones(N, bool),
+        "mod2": rng.random(N) > 0.4,
+    }
+    return IncompleteDataset(data, masks=masks)
+
+
+def model_config():
+    return MVTCAEConfig(n_modalities=2, latent_dim=4,
+                        input_dims={"mod1": (2,), "mod2": (3,)})
+
+
+def run_trainer(model, ds, tmp_path, n_epochs=3, with_eval=True, **kw):
+    cfg = BaseTrainerConfig(
+        output_dir=str(tmp_path), num_epochs=n_epochs,
+        per_device_train_batch_size=kw.pop("bs", 8),
+        per_device_eval_batch_size=8, learning_rate=1e-3, seed=3,
+        n_devices=kw.pop("n_devices", 1), **kw)
+    t = BaseTrainer(model, ds, eval_dataset=ds if with_eval else None,
+                    training_config=cfg)
+    losses = []
+    for e in range(1, n_epochs + 1):
+        tl, _ = t.train_step(e)
+        el = t.eval_step(e)[0] if with_eval else None
+        losses.append((tl, el))
+    return t, losses
+
+
+def assert_params_equal(t1, t2, atol=0.0):
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                    jax.tree_util.tree_leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=atol)
+
+
+# --------------------------------------------------------------- epoch plan
+def test_epoch_plan_defines_the_iterated_batches(dataset):
+    """__iter__ must gather exactly plan rows (single source of truth)."""
+    loader = DataLoader(dataset, 8, shuffle=True, seed=7)
+    loader.set_epoch(4)
+    idx, w = loader.epoch_plan()
+    assert idx.shape == (len(loader), 8)
+    batches = list(loader)
+    for b, batch in enumerate(batches):
+        raw = dataset.get_batch(idx[b])
+        for m in ("mod1", "mod2"):
+            np.testing.assert_array_equal(np.asarray(batch.data[m]),
+                                          raw["data"][m])
+        np.testing.assert_array_equal(np.asarray(batch.weights), w[b])
+        np.testing.assert_array_equal(np.asarray(batch.labels),
+                                      raw["labels"])
+    # padding rows of the final batch carry zero weight
+    assert w[-1].sum() < 8
+
+
+# -------------------------------------------------------------- exactness
+def test_cached_training_identical_to_host_loader(dataset, tmp_path):
+    """cache_on_device=True: same losses and BIT-identical params as the
+    host loader across epochs (train + eval, incl. the padded final
+    batch)."""
+    th, lh = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                         tmp_path / "h")
+    tc, lc = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                         tmp_path / "c", cache_on_device=True)
+    assert tc._train_cache is not None and tc._eval_cache is not None
+    for (a, b), (c, d) in zip(lh, lc):
+        assert a == pytest.approx(c, abs=1e-9)
+        assert b == pytest.approx(d, abs=1e-9)
+    assert_params_equal(th, tc)
+
+
+def test_cached_chunked_identical(dataset, tmp_path):
+    """steps_per_execution > 1 (scan-fused dispatch) changes nothing."""
+    th, lh = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                         tmp_path / "h")
+    tc, lc = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                         tmp_path / "c", cache_on_device=True,
+                         steps_per_execution=4)
+    for (a, b), (c, d) in zip(lh, lc):
+        assert a == pytest.approx(c, abs=1e-9)
+        assert b == pytest.approx(d, abs=1e-9)
+    assert_params_equal(th, tc)
+
+
+def test_cached_training_incomplete_dataset(incomplete_dataset, tmp_path):
+    """Masks ride the cache: incomplete-data training matches the host
+    path (MVAE consumes the masks in its subset sampling). Batches are
+    bit-identical by construction; the fused gather+scan program may
+    reassociate the loss reduction, so tolerances here are fp32-roundoff,
+    not zero."""
+    cfg = MVAEConfig(n_modalities=2, latent_dim=4,
+                     input_dims={"mod1": (2,), "mod2": (3,)})
+    th, lh = run_trainer(MVAE(cfg, seed=0), incomplete_dataset,
+                         tmp_path / "h")
+    tc, lc = run_trainer(MVAE(cfg, seed=0), incomplete_dataset,
+                         tmp_path / "c", cache_on_device=True)
+    assert tc._train_cache.incomplete is True
+    for (a, b), (c, d) in zip(lh, lc):
+        assert a == pytest.approx(c, rel=1e-5)
+    assert_params_equal(th, tc, atol=1e-5)
+
+
+def test_cached_training_multi_device_dp(dataset, tmp_path):
+    """8-device data parallelism over the replicated cache: losses match
+    the 8-device HOST-loader run (same topology — isolates the cache
+    contract from cross-device reduction ordering, which
+    test_dp_loss_matches_single_device already pins for the host path)."""
+    th, lh = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                         tmp_path / "h", n_devices=8, bs=1)
+    tc, lc = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                         tmp_path / "c", n_devices=8, bs=1,
+                         cache_on_device=True, steps_per_execution=2)
+    for (a, b), (c, d) in zip(lh, lc):
+        assert a == pytest.approx(c, rel=1e-5)
+        assert b == pytest.approx(d, rel=1e-5)
+    assert_params_equal(th, tc, atol=1e-5)
+
+
+# --------------------------------------------------------------- fallbacks
+def test_cache_budget_fallback(dataset, tmp_path, caplog):
+    """Over-budget datasets fall back to the host loader with a logged
+    reason; training still runs."""
+    with caplog.at_level(logging.WARNING,
+                         logger="multivae_tpu.data.device_cache"):
+        t, losses = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                                tmp_path, n_epochs=1,
+                                cache_on_device=True,
+                                device_cache_budget_gb=1e-9)
+    assert t._train_cache is None
+    assert any("exceeds the device cache budget" in r.message
+               for r in caplog.records)
+    assert np.isfinite(losses[0][0])
+
+
+def test_cache_unindexable_dataset_fallback(tmp_path, caplog):
+    """Datasets that fail bulk indexing fall back gracefully."""
+
+    class NoBulk(MultimodalBaseDataset):
+        def get_batch(self, indices):
+            if len(indices) > 2:
+                raise RuntimeError("streaming only")
+            return super().get_batch(indices)
+
+    rng = np.random.default_rng(0)
+    ds = NoBulk({"mod1": rng.normal(size=(N, 2)).astype(np.float32),
+                 "mod2": rng.normal(size=(N, 3)).astype(np.float32)})
+    mesh = get_data_mesh(1)
+    with caplog.at_level(logging.WARNING,
+                         logger="multivae_tpu.data.device_cache"):
+        cache = build_device_cache(ds, mesh, 10**9, chunk=16)
+    assert cache is None
+
+
+def test_estimate_dataset_nbytes(dataset):
+    est = estimate_dataset_nbytes(dataset)
+    # 2 f32 modalities (2 + 3 floats) + int labels
+    assert est >= N * (5 * 4)
+
+
+def test_steps_per_execution_validation():
+    with pytest.raises(AttributeError):
+        BaseTrainerConfig(steps_per_execution=0)
+    with pytest.raises(AttributeError):
+        BaseTrainerConfig(steps_per_execution=4)  # needs cache_on_device
+    BaseTrainerConfig(steps_per_execution=4, cache_on_device=True)
+
+
+def test_cached_full_train_loop_saves_model(dataset, tmp_path):
+    """The full train() loop (callbacks, best-model, final save) works on
+    the cached path."""
+    import os
+
+    t, _ = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                       tmp_path, n_epochs=1, cache_on_device=True)
+    t.train()
+    final = os.path.join(t.training_dir, "final_model")
+    assert os.path.isdir(final)

@@ -87,3 +87,66 @@ def test_multistage_training(model, tmp_path):
                                 training_config=cfg)
     trainer.train()
     assert model.current_stage == 2
+
+
+@pytest.mark.parametrize("backend", ["msgpack", "orbax"])
+def test_multistage_checkpoint_across_stage_boundary(tmp_path, backend):
+    """Checkpoint/resume ACROSS the JNF stage boundary (warmup=2 -> reset
+    at epoch 3): resuming from an epoch-4 checkpoint must restore the
+    stage-2 optimizer state (post-reset moments), recompute stage 2 for
+    the remaining epochs, and — with the orbax backend — continue the
+    EXACT trajectory of the uninterrupted run.
+
+    Reference parity anchor: ``src/multivae/trainers/multistage/
+    multistage_trainer.py:53-71`` (optimizer reset + checkpoint at the
+    boundary) + resume semantics ``base_trainer.py:390-427``."""
+    import os
+
+    ds = make_dataset("complete", n=16)
+
+    def cfg(path, n_epochs, **kw):
+        return MultistageTrainerConfig(
+            output_dir=str(path), num_epochs=n_epochs,
+            per_device_train_batch_size=8, learning_rate=1e-3, n_devices=1,
+            checkpoint_backend=backend, **kw)
+
+    def fresh_model():
+        return JNF(JNFConfig(n_modalities=3, latent_dim=LATENT,
+                             input_dims=DIMS, warmup=2), seed=0)
+
+    # uninterrupted 6-epoch run (stage 2 from epoch 3)
+    straight = MultistageTrainer(fresh_model(), ds, eval_dataset=ds,
+                                 training_config=cfg(tmp_path / "s", 6))
+    straight.train()
+
+    # interrupted: checkpoint at epoch 4 (inside stage 2), then resume
+    part = MultistageTrainer(fresh_model(), ds, eval_dataset=ds,
+                             training_config=cfg(tmp_path / "p", 4,
+                                                 steps_saving=4))
+    part.train()
+    ckpt = os.path.join(part.training_dir, "checkpoint_epoch_4")
+    assert os.path.isdir(ckpt)
+
+    resumed_model = fresh_model()
+    resumed = MultistageTrainer(resumed_model, ds, eval_dataset=ds,
+                                training_config=cfg(tmp_path / "r", 6),
+                                checkpoint=ckpt)
+    assert resumed.trained_epochs == 4
+    resumed.train()
+    # the resumed run must have recomputed stage 2 (the static-stage flag
+    # is NOT serialized; stage_for_epoch re-derives it every epoch)
+    assert resumed_model.current_stage == 2
+
+    if backend == "orbax":
+        # exact-trajectory resume: optimizer moments + rng chain + step
+        # restored -> same final params as the uninterrupted run
+        for a, b in zip(jax.tree_util.tree_leaves(resumed.state.params),
+                        jax.tree_util.tree_leaves(straight.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+    else:
+        # msgpack restores the optimizer but the live params are the
+        # best-model snapshot (reference semantics): check the resumed
+        # run is finite and in stage 2 with a working compiled step
+        loss, _ = resumed.train_step(7)
+        assert np.isfinite(loss)

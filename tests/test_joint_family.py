@@ -149,6 +149,46 @@ def test_telbo_multistage_training(telbo, tmp_path):
                for d in os.listdir(trainer.training_dir))
 
 
+@pytest.mark.parametrize("backend", ["msgpack", "orbax"])
+def test_telbo_resume_before_stage_boundary(telbo, tmp_path, backend):
+    """Resuming a TELBO run from a checkpoint BEFORE the stage boundary
+    (epoch 1, boundary at warmup=2) must still perform the optimizer
+    reset + stage switch at epoch 2 in the resumed run, ending in stage
+    2 with finite losses. Reference:
+    ``multistage_trainer.py:53-71``."""
+    import os
+
+    ds = make_dataset("complete", n=16)
+
+    def cfg(path, n_epochs, **kw):
+        return MultistageTrainerConfig(
+            output_dir=str(path), num_epochs=n_epochs,
+            per_device_train_batch_size=8, learning_rate=1e-3,
+            n_devices=1, checkpoint_backend=backend, **kw)
+
+    part = MultistageTrainer(telbo, ds, eval_dataset=ds,
+                             training_config=cfg(tmp_path / "p", 1,
+                                                 steps_saving=1))
+    part.train()
+    ckpt = os.path.join(part.training_dir, "checkpoint_epoch_1")
+    assert os.path.isdir(ckpt)
+
+    resumed_model = TELBO(TELBOConfig(n_modalities=3, latent_dim=LATENT,
+                                      input_dims=DIMS, warmup=2), seed=0)
+    resumed = MultistageTrainer(resumed_model, ds, eval_dataset=ds,
+                                training_config=cfg(tmp_path / "r", 4),
+                                checkpoint=ckpt)
+    assert resumed.trained_epochs == 1
+    resumed.train()  # crosses the boundary at epoch 2 inside the resume
+    assert resumed_model.current_stage == 2
+    # the boundary checkpoint (epoch 1 label) was saved during the
+    # RESUMED run too
+    assert os.path.isdir(os.path.join(resumed.training_dir,
+                                      "checkpoint_epoch_1"))
+    loss, _ = resumed.train_step(5)
+    assert np.isfinite(loss)
+
+
 def test_telbo_encode_subset_rejected(telbo):
     ds = make_dataset("complete")
     with pytest.raises(ValueError):
