@@ -1,0 +1,85 @@
+"""One-call subset sweeps: evaluate EVERY conditioning subset in a single
+compiled device call per batch.
+
+The reference evaluators loop Python-side over all 2^M-1 subsets, each
+sweeping the test loader (``src/multivae/metrics/coherences/coherences.py:
+51-188``, ``fids.py:265-283``) — S x n_batches host dispatches. Here the
+ten PoE/MoE families already take the conditioning subset as a TRACED
+(M,) indicator (``BaseMultiVAE._encode_masked``), so the whole sweep
+``vmap``s over the (S, M) subset matrix: ONE device call per test batch
+covers every subset, and the caller's in-graph ``postprocess`` (classifier
+logits, SSIM, inception embeddings) keeps the device->host transfer down
+to the few numbers the metric actually needs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from itertools import combinations
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def all_subsets(modalities: Sequence[str], min_size: int = 1,
+                max_size: Optional[int] = None) -> List[Tuple[str, ...]]:
+    """All modality subsets ordered by size then combination order —
+    exactly the reference's ``for n ...: for s in combinations(...)``
+    sweep order."""
+    mods = list(modalities)
+    if max_size is None:
+        max_size = len(mods)
+    out: List[Tuple[str, ...]] = []
+    for n in range(min_size, max_size + 1):
+        out.extend(combinations(mods, n))
+    return out
+
+
+def make_subset_sweep_fn(model, subsets: Sequence[Tuple[str, ...]],
+                         N: int = 1,
+                         postprocess: Optional[Dict[str, Callable]] = None,
+                         gen_mods: Optional[Sequence[str]] = None):
+    """Build a jitted ``fn(params, batch, rngs) -> {mod: (S, ...)}``.
+
+    For each row s of the subset matrix the function encodes the batch
+    conditioned on ``subsets[s]`` (via the model's traced-subset
+    ``_encode_masked``, the same path the public ``encode`` uses), decodes
+    ``gen_mods``, and applies ``postprocess[mod]`` in-graph. ``rngs`` is a
+    (S,)-stacked key array — one independent key per subset, mirroring
+    the sequential path's one ``next_rng()`` per subset call.
+
+    Returns None when the model has no ``_encode_masked`` (JNF/TELBO/
+    Nexus/CVAE): callers fall back to the per-subset loop.
+    """
+    if getattr(model, "_encode_masked", None) is None:
+        return None
+    gen = tuple(model.decoders) if gen_mods is None else tuple(gen_mods)
+    subset_matrix = jnp.stack(
+        [model.subset_indicator(tuple(s)) for s in subsets])
+    enc = partial(model._encode_masked, N=N, return_mean=False,
+                  flatten=True)
+
+    def one(params, batch, rng, subset):
+        out = enc(params, batch, rng, subset)
+        recon = model._decode_mods(params, out["z"], gen,
+                                   modalities_z=out.get("modalities_z"))
+        if postprocess is not None:
+            recon = {m: postprocess[m](recon[m], batch)
+                     for m in recon if m in postprocess}
+        return recon
+
+    @jax.jit
+    def sweep(params, batch, rngs):
+        return jax.vmap(lambda r, s: one(params, batch, r, s))(
+            rngs, subset_matrix)
+
+    return sweep
+
+
+def subset_rngs(model, n_subsets: int):
+    """(S,) stacked PRNG keys drawn from the model's rng chain — the
+    fused sweep's counterpart of the sequential path's per-subset
+    ``next_rng()`` draws."""
+    keys = [model.next_rng() for _ in range(n_subsets)]
+    return jnp.stack(keys)

@@ -28,6 +28,12 @@ class _PerClassAccuracy:
 
     def update(self, preds_logits, labels):
         preds = np.argmax(np.asarray(preds_logits), axis=-1).ravel()
+        self.update_preds(preds, labels)
+
+    def update_preds(self, preds, labels):
+        """Update from already-argmaxed class predictions (the fused
+        sweep computes the argmax in-graph)."""
+        preds = np.asarray(preds).ravel()
         labels = np.asarray(labels).astype(int).ravel()
         for c in range(self.num_classes):
             sel = labels == c
@@ -59,7 +65,120 @@ class CoherenceEvaluator(Evaluator):
             "Please provide the number of classes"
 
     def cross_coherences(self):
-        """All subset -> modality coherences (reference ``:51-109``)."""
+        """All subset -> modality coherences (reference ``:51-109``).
+
+        With ``fused_sweep`` (default) the whole 2^M-2 subset sweep runs
+        as ONE compiled device call per test batch — the (S, M) subset
+        matrix is vmapped over the traced-subset ``_encode_masked``,
+        decode-all and the classifier argmax stay in-graph, and only
+        (S, n_mods, N*B) int predictions come back to the host. The
+        reference instead loops subsets x batches x modalities host-side
+        (``coherences.py:51-188``)."""
+        modalities = list(self.model.encoders.keys())
+        per_subset = None
+        if getattr(self.eval_config, "fused_sweep", True):
+            per_subset = self._fused_subset_accuracies()
+        if per_subset is None:
+            return self._cross_coherences_sequential()
+
+        accs, accs_per_class = [], []
+        for n in range(1, self.model.n_modalities):
+            accs.append([])
+            accs_per_class.append([])
+            for s in combinations(modalities, n):
+                subset_dict, mean_acc, mean_acc_per_class = per_subset[s]
+                self.metrics.update(subset_dict)
+                accs[-1].append(mean_acc)
+                accs_per_class[-1].append(mean_acc_per_class)
+        return self._aggregate_cross(accs, accs_per_class)
+
+    def _fused_subset_accuracies(self):
+        """One device call per batch for ALL subsets; returns
+        {subset_tuple: (subset_dict, mean_acc, mean_acc_per_class)} or
+        None when the model/classifiers can't run the fused path."""
+        import jax.numpy as jnp
+
+        from ..base.subset_sweep import (
+            all_subsets,
+            make_subset_sweep_fn,
+            subset_rngs,
+        )
+
+        model = self.model
+        modalities = list(model.encoders.keys())
+        subsets = all_subsets(modalities, 1, model.n_modalities - 1)
+        clfs = self.clfs
+
+        def post(m):
+            def fn(recon, batch):
+                return jnp.argmax(clfs[m](recon), axis=-1)
+            return fn
+
+        sweep = make_subset_sweep_fn(
+            model, subsets, N=self.nb_samples_for_cross,
+            postprocess={m: post(m) for m in modalities})
+        if sweep is None:
+            return None
+
+        trackers = {
+            (s, m): _PerClassAccuracy(self.num_classes)
+            for s in subsets for m in modalities
+            if (m not in s) or self.include_recon
+        }
+        params = model._ensure_params()
+        first = True
+        for batch in self.test_loader:
+            if batch.labels is None:
+                raise AttributeError(
+                    "Cross-modal coherence cannot be computed on a dataset "
+                    "without labels"
+                )
+            rngs = subset_rngs(model, len(subsets))
+            if first:
+                # compile probe: non-jittable classifiers / exotic models
+                # drop to the sequential path
+                try:
+                    preds_dev = sweep(params, batch, rngs)
+                except Exception as e:  # pragma: no cover - env dependent
+                    self.logger.info(
+                        "fused subset sweep unavailable (%s); falling back "
+                        "to the per-subset loop", e)
+                    return None
+                first = False
+            else:
+                preds_dev = sweep(params, batch, rngs)
+            preds = {m: np.asarray(v) for m, v in preds_dev.items()}
+
+            valid = np.asarray(batch.weights) > 0
+            labels = np.asarray(batch.labels)
+            if self.nb_samples_for_cross > 1:
+                labels = np.concatenate(
+                    [labels] * self.nb_samples_for_cross)
+                valid = np.concatenate([valid] * self.nb_samples_for_cross)
+            for si, s in enumerate(subsets):
+                for m in modalities:
+                    if (s, m) not in trackers:
+                        continue
+                    trackers[(s, m)].update_preds(
+                        preds[m][si][valid], labels[valid])
+
+        out = {}
+        for s in subsets:
+            subset_name = "_".join(s)
+            acc_per_class = {
+                f"{subset_name}_to_{m}": trackers[(s, m)].compute()
+                for m in modalities if (s, m) in trackers
+            }
+            acc = {k: float(v.mean()) for k, v in acc_per_class.items()}
+            self.logger.info("Subset %s accuracies %s", list(s), acc)
+            mean_pair_acc = float(np.mean(list(acc.values())))
+            mean_acc_per_class = np.mean(
+                np.stack(list(acc_per_class.values())), axis=0)
+            out[s] = (acc, mean_pair_acc, mean_acc_per_class)
+        return out
+
+    def _cross_coherences_sequential(self):
+        """Per-subset loop (reference semantics; fallback path)."""
         modalities = list(self.model.encoders.keys())
         accs, accs_per_class = [], []
         for n in range(1, self.model.n_modalities):
@@ -73,7 +192,9 @@ class CoherenceEvaluator(Evaluator):
                 self.metrics.update(subset_dict)
                 accs[-1].append(mean_acc)
                 accs_per_class[-1].append(mean_acc_per_class)
+        return self._aggregate_cross(accs, accs_per_class)
 
+    def _aggregate_cross(self, accs, accs_per_class):
         mean_accs = [float(np.mean(a)) for a in accs]
         std_accs = [float(np.std(a)) for a in accs]
         mean_accs_per_class = [np.mean(np.stack(a), axis=0)

@@ -32,7 +32,11 @@ class AdaptShapeFID:
         self.size = size
 
     def __call__(self, x):
-        x = np.asarray(x)
+        # jnp throughout: shapes/ndim are static, so this adapter is
+        # jit-traceable and runs in-graph inside the fused subset sweep
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x)
         if x.ndim == 1:
             x = x[:, None]
         if x.ndim == 2:
@@ -44,10 +48,11 @@ class AdaptShapeFID:
                 "Can't compute FID for data with more than 3 dimensions"
             )
         if x.shape[1] == 1:
-            x = np.concatenate([x] * 3, axis=1)
+            x = jnp.concatenate([x] * 3, axis=1)
         elif x.shape[1] == 2:
             n, _, h, w = x.shape
-            x = np.concatenate([x, np.zeros((n, 1, h, w), x.dtype)], axis=1)
+            x = jnp.concatenate(
+                [x, jnp.zeros((n, 1, h, w), x.dtype)], axis=1)
         else:
             x = x[:, :3]
         if self.resize:
@@ -199,14 +204,97 @@ class FIDEvaluator(Evaluator):
         self.metrics[f"Conditional FD from {subset_name} to {gen_mod}"] = fd
         return fd
 
+    def _fused_conditional_fids(self, gen_mod):
+        """All conditioning subsets in ONE compiled device call per test
+        batch: traced-subset encode + decode + (transform + embedder)
+        in-graph; only (S, B, emb_dim) activations return to the host,
+        where the Fréchet statistics stay numerically identical to the
+        sequential path. Returns None when the model/embedder can't run
+        fused (fall back to the per-subset loop)."""
+        from ..base.subset_sweep import (
+            all_subsets,
+            make_subset_sweep_fn,
+            subset_rngs,
+        )
+
+        model = self.model
+        modalities = [k for k in model.encoders if k != gen_mod]
+        subsets = all_subsets(modalities)
+        transform = self.inception_transform
+        embedder = self.model_fds[gen_mod]
+
+        def post(recon, batch):
+            x = transform(recon) if transform is not None else recon
+            out = embedder(x)
+            if isinstance(out, dict):
+                out = out["embedding"]
+            return out
+
+        sweep = make_subset_sweep_fn(model, subsets, N=1,
+                                     postprocess={gen_mod: post},
+                                     gen_mods=(gen_mod,))
+        if sweep is None:
+            return None
+
+        params = model._ensure_params()
+        acts_true = []
+        acts_gen = {s: [] for s in subsets}
+        first = True
+        for batch in self.test_loader:
+            valid = np.asarray(batch.weights) > 0
+            true_data = np.asarray(batch.data[gen_mod])[valid]
+            acts_true.append(self._embed(gen_mod, true_data))
+            rngs = subset_rngs(model, len(subsets))
+            if first:
+                try:
+                    acts_dev = sweep(params, batch, rngs)
+                except Exception as e:  # pragma: no cover - env dependent
+                    self.logger.info(
+                        "fused conditional-FID sweep unavailable (%s); "
+                        "falling back to the per-subset loop", e)
+                    return None
+                first = False
+            else:
+                acts_dev = sweep(params, batch, rngs)
+            acts = np.asarray(acts_dev[gen_mod])
+            for si, s in enumerate(subsets):
+                acts_gen[s].append(acts[si][valid])
+
+        act_true = np.concatenate(acts_true, axis=0)
+        mu1 = act_true.mean(0)
+        s1 = np.cov(act_true, rowvar=False)
+        out = {}
+        for s in subsets:
+            act = np.concatenate(acts_gen[s], axis=0)
+            fd = self.calculate_frechet_distance(
+                mu1, s1, act.mean(0), np.cov(act, rowvar=False))
+            self.logger.info(
+                "The FD for modality %s computed from subset=%s is %s",
+                gen_mod, list(s), fd,
+            )
+            out[s] = fd
+        return out
+
     def compute_all_conditional_fids(self, gen_mod):
-        """Reference ``:265-283``."""
+        """Reference ``:265-283``. With ``fused_sweep`` (default) the
+        whole subset sweep is one device call per batch (see
+        ``_fused_conditional_fids``); metric keys and running-mean
+        semantics are unchanged."""
         modalities = [k for k in self.model.encoders if k != gen_mod]
+        per_subset = None
+        if getattr(self.eval_config, "fused_sweep", True):
+            per_subset = self._fused_conditional_fids(gen_mod)
         for n in range(1, len(modalities) + 1):
             fdn = []
             for s in combinations(modalities, n):
-                fd = self.compute_fid_from_conditional_generation(
-                    list(s), gen_mod)
+                if per_subset is not None:
+                    fd = per_subset[s]
+                    self.metrics[
+                        f"Conditional FD from {'_'.join(s)} to {gen_mod}"
+                    ] = fd
+                else:
+                    fd = self.compute_fid_from_conditional_generation(
+                        list(s), gen_mod)
                 fdn.append(fd)
                 self.metrics[
                     f"Mean FD from {n} modalities to {gen_mod}"

@@ -18,7 +18,13 @@ class FIDEvaluatorConfig(EvaluatorConfig):
         inception_weights_path: path to converted InceptionV3 weights
             (msgpack). Required only when no custom encoders are provided.
         dims_inception: embedding dimension of the inception layer.
+        fused_sweep: run the conditional-FID subset sweep as one compiled
+            device call per test batch (transform + embedder in-graph;
+            see ``metrics/base/subset_sweep.py``). Falls back to the
+            per-subset loop when the model or embedder can't be traced.
+            TPU-native extension, on by default.
     """
 
     inception_weights_path: Optional[str] = "../fid_model/model.msgpack"
     dims_inception: int = 2048
+    fused_sweep: bool = True

@@ -73,10 +73,79 @@ class Reconstruction(Evaluator):
         ] = mean_recon_error
         return mean_recon_error
 
+    def _fused_eval(self):
+        """All evaluated subsets (joint + unimodal) in one compiled call
+        per batch: per-sample SSIM/MSE computed in-graph, only (S, M, B)
+        floats return to the host. Returns False when the model lacks
+        the traced-subset encode (fall back to the loop)."""
+        import jax.numpy as jnp
+
+        from ...ops.ssim import ssim
+        from ..base.subset_sweep import make_subset_sweep_fn, subset_rngs
+
+        model = self.model
+        mods = list(model.encoders.keys())
+        subsets = [tuple(mods)] + [(m,) for m in mods]
+
+        def post(m):
+            if self.metric_name == "SSIM":
+                def fn(recon, batch):
+                    return ssim(recon, batch.data[m], reduce=False)
+            elif self.metric_name == "MSE":
+                def fn(recon, batch):
+                    d2 = (recon - batch.data[m]) ** 2
+                    return jnp.sum(
+                        d2.reshape(d2.shape[0], -1), axis=-1,
+                        dtype=jnp.float32)
+            else:
+                raise AttributeError(
+                    "Unrecognized metric name for reconstruction error."
+                )
+            return fn
+
+        sweep = make_subset_sweep_fn(model, subsets, N=1,
+                                     postprocess={m: post(m) for m in mods})
+        if sweep is None:
+            return False
+
+        params = model._ensure_params()
+        # per (subset, mod-in-subset): running [weighted sum, count]
+        sums = {s: {m: [0.0, 0] for m in s} for s in subsets}
+        for batch in self.test_loader:
+            rngs = subset_rngs(model, len(subsets))
+            vals = {m: np.asarray(v)
+                    for m, v in sweep(params, batch, rngs).items()}
+            valid = np.asarray(batch.weights) > 0
+            for si, s in enumerate(subsets):
+                for m in s:
+                    sums[s][m][0] += float(vals[m][si][valid].sum())
+                    sums[s][m][1] += int(valid.sum())
+        for s in subsets:
+            total = sum(sums[s][m][0] for m in s)
+            n = sum(sums[s][m][1] for m in s)
+            mean_recon_error = total / n
+            subset_list = list(s)
+            self.logger.info("Subset %s reconstruction : %s", subset_list,
+                             mean_recon_error)
+            self.metrics[
+                f"{subset_list} reconstruction error ({self.metric_name})"
+            ] = mean_recon_error
+        return True
+
     def eval(self):
         """Joint + unimodal reconstruction metrics (reference ``:82-92``)."""
-        self.reconstruction_from_subset(list(self.model.encoders.keys()))
-        for mod in self.model.encoders.keys():
-            self.reconstruction_from_subset([mod])
+        fused = False
+        if getattr(self.eval_config, "fused_sweep", True):
+            try:
+                fused = self._fused_eval()
+            except Exception as e:
+                self.logger.info(
+                    "fused reconstruction sweep unavailable (%s); falling "
+                    "back to the per-subset loop", e)
+                fused = False
+        if not fused:
+            self.reconstruction_from_subset(list(self.model.encoders.keys()))
+            for mod in self.model.encoders.keys():
+                self.reconstruction_from_subset([mod])
         self.log_to_wandb()
         return ModelOutput(**self.metrics)

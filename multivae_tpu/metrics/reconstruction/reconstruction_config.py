@@ -16,6 +16,12 @@ class ReconstructionConfig(EvaluatorConfig):
 
     Args:
         metric: 'SSIM' (images only) or 'MSE'.
+        fused_sweep: evaluate all subsets (joint + unimodal) in ONE
+            compiled device call per test batch, with per-sample SSIM/MSE
+            computed in-graph (see ``metrics/base/subset_sweep.py``).
+            Falls back to the per-subset loop on models without the
+            traced-subset encode. TPU-native extension, on by default.
     """
 
     metric: Literal["SSIM", "MSE"] = "SSIM"
+    fused_sweep: bool = True

@@ -22,16 +22,19 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def ssim(preds, target, data_range: float = 1.0, kernel_size: int = 11,
-         sigma: float = 1.5):
+         sigma: float = 1.5, reduce: bool = True):
     """Mean SSIM over a batch of images.
 
     Args:
         preds / target: (B, C, H, W) arrays (channels-first, matching the
             dataset conventions used across the framework).
         data_range: dynamic range of the inputs.
+        reduce: return the scalar batch mean (default); ``False`` returns
+            per-sample SSIM values (B,) — used by the fused subset-sweep
+            evaluators to weight out loader-padding rows in-graph.
 
     Returns:
-        scalar mean SSIM.
+        scalar mean SSIM, or (B,) per-sample SSIM when ``reduce=False``.
     """
     preds = jnp.asarray(preds, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
@@ -65,4 +68,7 @@ def ssim(preds, target, data_range: float = 1.0, kernel_size: int = 11,
 
     num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
     den = (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
-    return (num / den).mean()
+    ssim_map = num / den
+    if reduce:
+        return ssim_map.mean()
+    return ssim_map.mean(axis=(1, 2, 3))

@@ -1,0 +1,224 @@
+"""Fused one-call subset sweeps: the vmapped (S, M) subset-matrix paths
+of Coherence / Reconstruction / FID must reproduce the sequential
+per-subset loops exactly.
+
+The sequential loops mirror the reference
+(``src/multivae/metrics/coherences/coherences.py:51-188``,
+``fids.py:265-283``); the fused paths issue ONE compiled device call per
+test batch covering every subset (``metrics/base/subset_sweep.py``).
+With a single test batch both paths draw the same per-subset rng keys in
+the same order, so the comparison is deterministic.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multivae_tpu.data import MultimodalBaseDataset
+from multivae_tpu.metrics import (
+    CoherenceEvaluator,
+    CoherenceEvaluatorConfig,
+    FIDEvaluator,
+    FIDEvaluatorConfig,
+    Reconstruction,
+    ReconstructionConfig,
+)
+from multivae_tpu.metrics.base.subset_sweep import (
+    all_subsets,
+    make_subset_sweep_fn,
+)
+from multivae_tpu.models import (
+    MMVAE,
+    MMVAEConfig,
+    MMVAEPlus,
+    MMVAEPlusConfig,
+    MVTCAE,
+    MVTCAEConfig,
+)
+
+N = 24
+DIMS = {"m0": (1, 16, 16), "m1": (6,), "m2": (1, 16, 16)}
+N_CLASSES = 3
+
+
+@pytest.fixture
+def dataset():
+    rng = np.random.default_rng(0)
+    data = {m: rng.uniform(size=(N, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    return MultimodalBaseDataset(data,
+                                 labels=rng.integers(0, N_CLASSES, size=N))
+
+
+def jit_classifiers():
+    """jit-traceable linear classifiers (pure jnp)."""
+    rng = np.random.default_rng(7)
+    ws = {m: rng.normal(size=(int(np.prod(d)), N_CLASSES)).astype(np.float32)
+          for m, d in DIMS.items()}
+
+    def make(m):
+        W = jnp.asarray(ws[m])
+        return lambda x: jnp.reshape(x, (x.shape[0], -1)) @ W
+
+    return {m: make(m) for m in DIMS}
+
+
+def build(model_cls, config_cls, **kw):
+    cfg = config_cls(n_modalities=3, latent_dim=4, input_dims=DIMS, **kw)
+    return model_cls(cfg, seed=0)
+
+
+MODELS = [
+    (MVTCAE, MVTCAEConfig, {}),                            # PoE family
+    (MMVAE, MMVAEConfig, {"K": 2}),                        # MoE family
+    (MMVAEPlus, MMVAEPlusConfig,
+     {"K": 2, "modalities_specific_dim": 3}),              # multi-latent
+]
+
+
+@pytest.mark.parametrize("model_cls,config_cls,kw", MODELS)
+def test_fused_coherence_matches_sequential(model_cls, config_cls, kw,
+                                            dataset):
+    clfs = jit_classifiers()
+    results = {}
+    for fused in (False, True):
+        model = build(model_cls, config_cls, **kw)
+        model.set_seed(11)
+        ev = CoherenceEvaluator(
+            model, clfs, dataset,
+            eval_config=CoherenceEvaluatorConfig(
+                batch_size=N, num_classes=N_CLASSES, fused_sweep=fused))
+        ev.cross_coherences()
+        results[fused] = dict(ev.metrics)
+    assert results[0].keys() == results[1].keys()
+    for k in results[0]:
+        assert results[0][k] == pytest.approx(results[1][k], abs=1e-9), k
+
+
+def test_fused_coherence_include_recon_and_multisample(dataset):
+    clfs = jit_classifiers()
+    results = {}
+    for fused in (False, True):
+        model = build(MVTCAE, MVTCAEConfig)
+        model.set_seed(3)
+        ev = CoherenceEvaluator(
+            model, clfs, dataset,
+            eval_config=CoherenceEvaluatorConfig(
+                batch_size=N, num_classes=N_CLASSES, include_recon=True,
+                nb_samples_for_cross=3, give_details_per_class=True,
+                fused_sweep=fused))
+        ev.cross_coherences()
+        results[fused] = dict(ev.metrics)
+    assert results[0].keys() == results[1].keys()
+    for k in results[0]:
+        assert results[0][k] == pytest.approx(results[1][k], abs=1e-9), k
+
+
+def test_fused_coherence_fallback_nonjittable_classifier(dataset):
+    """Classifiers that call numpy on traced values can't run in-graph:
+    the evaluator must fall back to the sequential loop and still
+    produce the sequential results."""
+    def np_clf(x):
+        x = np.asarray(x).reshape(len(x), -1)  # breaks under tracing
+        return jnp.asarray(
+            np.stack([x.mean(-1), x.std(-1), x.max(-1)], axis=-1))
+
+    clfs = {m: np_clf for m in DIMS}
+    results = {}
+    for fused in (False, True):
+        model = build(MVTCAE, MVTCAEConfig)
+        model.set_seed(5)
+        ev = CoherenceEvaluator(
+            model, clfs, dataset,
+            eval_config=CoherenceEvaluatorConfig(
+                batch_size=N, num_classes=N_CLASSES, fused_sweep=fused))
+        ev.cross_coherences()
+        results[fused] = dict(ev.metrics)
+    for k in results[0]:
+        assert results[0][k] == pytest.approx(results[1][k], abs=1e-9), k
+
+
+@pytest.mark.parametrize("metric", ["MSE", "SSIM"])
+def test_fused_reconstruction_matches_sequential(metric):
+    dims = {"m0": (1, 16, 16), "m1": (1, 16, 16)}
+    rng = np.random.default_rng(0)
+    ds = MultimodalBaseDataset(
+        {m: rng.uniform(size=(N, *d)).astype(np.float32)
+         for m, d in dims.items()})
+    results = {}
+    for fused in (False, True):
+        model = MVTCAE(MVTCAEConfig(n_modalities=2, latent_dim=4,
+                                    input_dims=dims), seed=0)
+        model.set_seed(5)
+        ev = Reconstruction(model, ds, eval_config=ReconstructionConfig(
+            batch_size=N, metric=metric, fused_sweep=fused))
+        results[fused] = dict(ev.eval())
+    assert results[0].keys() == results[1].keys()
+    for k in results[0]:
+        assert results[0][k] == pytest.approx(results[1][k], rel=1e-5), k
+
+
+def test_fused_conditional_fid_matches_sequential(dataset):
+    rng = np.random.default_rng(3)
+    ws = {m: rng.normal(size=(int(np.prod(d)), 5)).astype(np.float32)
+          for m, d in DIMS.items()}
+    enc = {m: (lambda W: lambda x: jnp.reshape(x, (x.shape[0], -1))
+               @ jnp.asarray(W))(ws[m]) for m in DIMS}
+    results = {}
+    for fused in (False, True):
+        model = build(MVTCAE, MVTCAEConfig)
+        model.set_seed(9)
+        ev = FIDEvaluator(model, dataset,
+                          eval_config=FIDEvaluatorConfig(
+                              batch_size=N, fused_sweep=fused),
+                          custom_encoders=enc)
+        ev.compute_all_conditional_fids("m0")
+        results[fused] = dict(ev.metrics)
+    assert results[0].keys() == results[1].keys()
+    for k in results[0]:
+        assert results[0][k] == pytest.approx(results[1][k], rel=1e-3), k
+
+
+def test_sweep_builder_refuses_models_without_masked_encode(dataset):
+    """JNF/TELBO/Nexus-style models (no traced-subset encode) return
+    None from the builder -> evaluators fall back."""
+
+    class NoMasked:
+        _encode_masked = None
+        decoders = {}
+
+    assert make_subset_sweep_fn(NoMasked(), [("m0",)]) is None
+
+
+def test_all_subsets_ordering():
+    subs = all_subsets(["a", "b", "c"], 1, 2)
+    assert subs == [("a",), ("b",), ("c",), ("a", "b"), ("a", "c"),
+                    ("b", "c")]
+
+
+def test_fused_coherence_multibatch(dataset):
+    """Several test batches (incl. a padded final one): the fused path's
+    per-row weighting must drop padding rows exactly like the host
+    path. (Batch-major vs subset-major rng order differ here, so compare
+    against an independent fused run for determinism and the sequential
+    run for plausibility bounds.)"""
+    clfs = jit_classifiers()
+    model = build(MVTCAE, MVTCAEConfig)
+    model.set_seed(2)
+    ev = CoherenceEvaluator(
+        model, clfs, dataset,
+        eval_config=CoherenceEvaluatorConfig(
+            batch_size=10, num_classes=N_CLASSES, fused_sweep=True))
+    ev.cross_coherences()
+    a = dict(ev.metrics)
+    model.set_seed(2)
+    ev2 = CoherenceEvaluator(
+        model, clfs, dataset,
+        eval_config=CoherenceEvaluatorConfig(
+            batch_size=10, num_classes=N_CLASSES, fused_sweep=True))
+    ev2.cross_coherences()
+    b = dict(ev2.metrics)
+    assert a == b
+    for v in a.values():
+        assert 0.0 <= v <= 1.0
