@@ -329,6 +329,29 @@ def test_polymnist_classifier_converter_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_convert_weights_cli_selftest_golden_pins():
+    """The checked-in pipeline goldens (scripts/goldens/*.npz) must stay
+    reproducible: seeded torch replicas -> converter -> probe outputs.
+    This is the offline pass/fail a user runs after converting the real
+    checkpoints (reference pipeline
+    ``inception_networks.py:14-15,329-357``)."""
+    import os
+    import runpy
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "convert_fid_weights.py")
+    argv_saved = sys.argv
+    sys.argv = ["convert_fid_weights.py", "selftest"]
+    try:
+        runpy.run_path(script, run_name="__main__")
+    except SystemExit as e:  # selftest exits 1 on golden mismatch
+        assert not e.code, "converter selftest failed vs checked-in goldens"
+    finally:
+        sys.argv = argv_saved
+
+
 def test_convert_weights_cli_classifiers(tmp_path):
     """scripts/convert_fid_weights.py classifiers: torch → msgpack, and the
     msgpack load path of load_mmnist_classifiers matches the torch logits."""
