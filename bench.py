@@ -12,12 +12,17 @@ be measured vs reference PyTorch-CPU).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+# BENCH_SMOKE=1 shrinks shapes/step counts for a fast correctness pass
+# (CI/dev); the driver runs the full protocol (env unset).
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+
 LATENT = 512
-BATCH = 256
+BATCH = 64 if SMOKE else 256
 DIMS = {"m0": (1, 28, 28), "m1": (3, 32, 32)}
 N_STEPS = 40
 N_STEPS_TORCH = 6
@@ -348,10 +353,12 @@ def bench_mmvae_bf16(n_steps=15):
     return (time.perf_counter() - t0) / (n_steps * N_INNER), flops
 
 
-def bench_mvtcae_conv(n_steps=10):
+def bench_mvtcae_conv(n_steps=10, mixed=False):
     """The REAL case-study workload: MVTCAE with the PolyMNIST ConvNets
     (5 modalities, latent 512, batch 256, laplace scale 0.75 — the exact
-    benchmark protocol of examples/case_studies/partial_polymnist)."""
+    benchmark protocol of examples/case_studies/partial_polymnist).
+    ``mixed=True`` measures the bf16 variant (fp32 master weights, bf16
+    compute) of the same step."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -383,13 +390,25 @@ def bench_mvtcae_conv(n_steps=10):
     opt = optax.adam(1e-3)
     opt_state = opt.init(model.params)
 
+    if mixed:
+        from multivae_tpu.trainers.base.base_trainer import _to_bf16
+
     @jax.jit
     def multi(params, opt_state, batch, rng):
         def body(c, i):
             params, opt_state = c
             r = jax.random.fold_in(rng, i)
-            l, g = jax.value_and_grad(lambda p: model.loss_function(
-                p, batch, r, info).loss)(params)
+
+            def loss_fn(p):
+                if mixed:
+                    out = model.loss_function(_to_bf16(p), _to_bf16(batch),
+                                              r, info)
+                    return out.loss.astype(jnp.float32)
+                return model.loss_function(p, batch, r, info).loss
+
+            l, g = jax.value_and_grad(loss_fn)(params)
+            if mixed:
+                g = jax.tree.map(lambda x: x.astype(jnp.float32), g)
             u, opt_state = opt.update(g, opt_state, params)
             return (optax.apply_updates(params, u), opt_state), l
         (params, opt_state), ls = jax.lax.scan(
@@ -406,6 +425,223 @@ def bench_mvtcae_conv(n_steps=10):
     flops = _flops_of(multi, model.params, opt_state, batch,
                       jax.random.key(0))
     return (time.perf_counter() - t0) / (n_steps * 10), flops
+
+
+def bench_trainer_e2e(n_epochs=3):
+    """END-TO-END ``BaseTrainer`` epochs at the headline scale with the
+    device-resident dataset cache (``cache_on_device=True``,
+    ``steps_per_execution=25``): the loop a USER runs — callbacks,
+    metric accumulation, epoch bookkeeping — not a resident-batch
+    microbench. Reference counterpart: the torch epoch loop streaming
+    every batch host->device (``base_trainer.py:664-687``)."""
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import MVTCAE, MVTCAEConfig
+    from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
+
+    n_samples = BATCH * (4 if SMOKE else 50)
+    rng = np.random.default_rng(0)
+    data = {m: rng.uniform(size=(n_samples, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    ds = MultimodalBaseDataset(data)
+    model = MVTCAE(MVTCAEConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        decoders_dist={m: "bernoulli" for m in DIMS},
+    ), seed=0)
+    cfg = BaseTrainerConfig(
+        output_dir="/tmp/bench_e2e", num_epochs=1,
+        per_device_train_batch_size=BATCH,
+        per_device_eval_batch_size=BATCH, learning_rate=1e-3, seed=0,
+        n_devices=1, cache_on_device=True,
+        steps_per_execution=2 if SMOKE else 25,
+    )
+    trainer = BaseTrainer(model, ds, training_config=cfg)
+    assert trainer._train_cache is not None, "device cache failed to build"
+    trainer.train_step(1)  # compile + warm
+    steps_per_epoch = len(trainer.train_loader)
+    t0 = time.perf_counter()
+    for e in range(2, 2 + n_epochs):
+        trainer.train_step(e)
+    dt = time.perf_counter() - t0
+    return n_epochs * steps_per_epoch / dt
+
+
+def bench_mmvaeplus_resnet(n_steps=1 if SMOKE else 4):
+    """Flagship MMVAE+ benchmark protocol: PolyMNIST resnets, M=5,
+    B=256, K=10, iwae_looser, remat + bf16 mixed precision (fp32 needs
+    41.5 GB without remat / 16.8 GB with — only remat+bf16 fits the
+    15.75 GB v5e chip). Reference protocol:
+    ``examples/case_studies/mmvaePlus_on_partial_data/train.py``."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multivae_tpu.data.batch import batch_from_arrays
+    from multivae_tpu.models import MMVAEPlus, MMVAEPlusConfig
+    from multivae_tpu.models.base.step import StepInfo
+    from multivae_tpu.nn.mmnist import (
+        DecoderResnetMMNIST,
+        EncoderResnetMMNIST,
+    )
+    from multivae_tpu.trainers.base.base_trainer import _to_bf16
+
+    M, X = 5, (3, 28, 28)
+    mods = [f"m{i}" for i in range(M)]
+    K = 2 if SMOKE else 10
+    config = MMVAEPlusConfig(
+        n_modalities=M, K=K, latent_dim=32, modalities_specific_dim=32,
+        input_dims={m: X for m in mods},
+        decoders_dist={m: "laplace" for m in mods},
+        decoder_dist_params={m: {"scale": 0.75} for m in mods},
+        prior_and_posterior_dist="laplace_with_softmax",
+        beta=2.5, learn_shared_prior=False, learn_modality_prior=True,
+        loss="iwae_looser", use_remat=True,
+    )
+    enc = {m: EncoderResnetMMNIST(private_latent_dim=32,
+                                  shared_latent_dim=32) for m in mods}
+    dec = {m: DecoderResnetMMNIST(latent_dim=64) for m in mods}
+    model = MMVAEPlus(config, encoders=enc, decoders=dec, seed=0)
+    rng_np = np.random.default_rng(0)
+    batch = batch_from_arrays(
+        data={m: rng_np.random((BATCH, *X), dtype=np.float32)
+              for m in mods})
+    info = StepInfo.create(epoch=1)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(model.params)
+
+    @jax.jit
+    def step(params, opt_state, batch, r):
+        def loss_fn(p):
+            out = model.loss_function(_to_bf16(p), _to_bf16(batch), r, info)
+            return out["loss"].astype(jnp.float32)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    p, o, loss = step(model.params, opt_state, batch, jax.random.key(0))
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        p, o, loss = step(p, o, batch, jax.random.key(i + 1))
+    float(loss)
+    flops = _flops_of(step, model.params, opt_state, batch,
+                      jax.random.key(0))
+    return (time.perf_counter() - t0) / n_steps, flops
+
+
+def bench_mvae_subset_elbo(n_steps=15):
+    """MVAE subset-sampling ELBO step (joint + unimodal + k random
+    subset ELBOs per step — reference ``mvae_model.py`` subsampling
+    protocol) at M=4, MLP-512, B=256."""
+    import jax
+
+    from multivae_tpu.data.batch import batch_from_arrays
+    from multivae_tpu.models import MVAE, MVAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+
+    M, X = 4, (3, 28, 28)
+    mods = [f"m{i}" for i in range(M)]
+    rng = np.random.default_rng(0)
+    batch = batch_from_arrays(data={
+        m: rng.random((BATCH, *X), dtype=np.float32) for m in mods})
+    model = MVAE(MVAEConfig(
+        n_modalities=M, latent_dim=LATENT,
+        input_dims={m: X for m in mods},
+        decoders_dist={m: "bernoulli" for m in mods},
+        use_subsampling=True, k=1, warmup=10,
+    ), seed=0)
+    info = StepInfo.create(epoch=5, dataset_size=BATCH * 10)
+    key = jax.random.key(0)
+
+    @jax.jit
+    def grad_step(params, batch, rng):
+        return jax.value_and_grad(lambda p: model.loss_function(
+            p, batch, rng, info).loss)(params)
+
+    v, _ = grad_step(model.params, batch, key)
+    float(v)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        v, g = grad_step(model.params, batch, key)
+    float(v)
+    flops = _flops_of(grad_step, model.params, batch, key)
+    return (time.perf_counter() - t0) / n_steps, flops
+
+
+def bench_cmvae_cluster(n_steps=2 if SMOKE else 10):
+    """CMVAE cluster-prior objective step at the paper protocol
+    (PolyMNIST resnets, M=5, latent 32 + 32 private, 40 clusters, K=1,
+    dreg_looser, B=256 — reference ``examples/cmvae/polymnist/train.py``
+    hyperparameters)."""
+    import jax
+
+    from multivae_tpu.data.batch import batch_from_arrays
+    from multivae_tpu.models import CMVAE, CMVAEConfig
+    from multivae_tpu.models.base.step import StepInfo
+    from multivae_tpu.nn.mmnist import (
+        DecoderResnetMMNIST,
+        EncoderResnetMMNIST,
+    )
+
+    M, X = 5, (3, 28, 28)
+    mods = [f"m{i}" for i in range(M)]
+    config = CMVAEConfig(
+        n_modalities=M, K=1, latent_dim=32, modalities_specific_dim=32,
+        number_of_clusters=40, input_dims={m: X for m in mods},
+        decoders_dist={m: "laplace" for m in mods},
+        decoder_dist_params={m: {"scale": 0.75} for m in mods},
+        beta=2.5, loss="dreg_looser",
+    )
+    enc = {m: EncoderResnetMMNIST(private_latent_dim=32,
+                                  shared_latent_dim=32) for m in mods}
+    dec = {m: DecoderResnetMMNIST(latent_dim=64) for m in mods}
+    model = CMVAE(config, encoders=enc, decoders=dec, seed=0)
+    rng = np.random.default_rng(0)
+    batch = batch_from_arrays(data={
+        m: rng.random((BATCH, *X), dtype=np.float32) for m in mods})
+    info = StepInfo.create(epoch=1)
+    key = jax.random.key(0)
+
+    @jax.jit
+    def grad_step(params, batch, rng):
+        return jax.value_and_grad(lambda p: model.loss_function(
+            p, batch, rng, info).loss)(params)
+
+    v, _ = grad_step(model.params, batch, key)
+    float(v)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        v, g = grad_step(model.params, batch, key)
+    float(v)
+    flops = _flops_of(grad_step, model.params, batch, key)
+    return (time.perf_counter() - t0) / n_steps, flops
+
+
+def bench_maf_sampler_fit(n_latents=512 if SMOKE else 4096, n_epochs=3):
+    """MAF-sampler fit throughput: encode the train set + fit the flow
+    on the latents (the sampler phase of SURVEY §7.2.13's CMVAE + MAF
+    protocol; reference ``maf_sampler.py:71-146`` trains a pythae MAF
+    with a full pythae trainer). Returns latents/second through the
+    whole fit."""
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import MVTCAE, MVTCAEConfig
+    from multivae_tpu.samplers import MAFSampler, MAFSamplerConfig
+
+    rng = np.random.default_rng(0)
+    data = {m: rng.uniform(size=(n_latents, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    ds = MultimodalBaseDataset(data)
+    model = MVTCAE(MVTCAEConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        decoders_dist={m: "bernoulli" for m in DIMS},
+    ), seed=0)
+    sampler = MAFSampler(model, MAFSamplerConfig())
+    t0 = time.perf_counter()
+    sampler.fit(ds, num_epochs=n_epochs, batch_size=256)
+    dt = time.perf_counter() - t0
+    sampler.sample(64)  # exercise the inverse path too
+    return n_latents * n_epochs / dt
 
 
 def bench_mopoe(n_steps=15):
@@ -449,22 +685,35 @@ def main():
     jax_sps, mlp_flops = bench_jax()
     jax_sps_bf16, mlp_flops_bf16 = bench_jax(mixed_precision=True)
     torch_sps = bench_torch_reference_style()
+    e2e_sps = bench_trainer_e2e()
     nll_jax_s = bench_nll_jax()
     nll_torch_s = bench_nll_torch()
     mmvae_s, mmvae_flops = bench_mmvae_bf16()
     mopoe_s, mopoe_flops = bench_mopoe()
     conv_s, conv_flops = bench_mvtcae_conv()
+    convb_s, convb_flops = bench_mvtcae_conv(mixed=True)
+    mmvp_s, mmvp_flops = bench_mmvaeplus_resnet()
+    mvae_s, mvae_flops = bench_mvae_subset_elbo()
+    cmvae_s, cmvae_flops = bench_cmvae_cluster()
+    maf_lps = bench_maf_sampler_fit()
     out = {
         "metric": "mvtcae_train_steps_per_sec",
         "value": round(jax_sps, 3),
         "unit": "steps/s (batch=256, latent=512, MLP-512, 2 modalities)",
         "vs_baseline": round(jax_sps / torch_sps, 3),
         "mvtcae_mlp_bf16_steps_per_sec": round(jax_sps_bf16, 3),
+        "trainer_e2e_steps_per_sec": round(e2e_sps, 3),
+        "trainer_e2e_vs_device_step": round(e2e_sps / jax_sps, 3),
         "nll_k1000_512pts_seconds": round(nll_jax_s, 3),
         "nll_k1000_vs_torch_cpu": round(nll_torch_s / nll_jax_s, 2),
         "mmvae_dreg_bf16_step_ms": round(mmvae_s * 1000, 2),
         "mopoe_31subset_step_ms": round(mopoe_s * 1000, 2),
         "mvtcae_polymnist_conv_step_ms": round(conv_s * 1000, 2),
+        "mvtcae_polymnist_conv_bf16_step_ms": round(convb_s * 1000, 2),
+        "mmvaeplus_resnet_bf16_step_ms": round(mmvp_s * 1000, 2),
+        "mvae_subset_elbo_step_ms": round(mvae_s * 1000, 2),
+        "cmvae_cluster_step_ms": round(cmvae_s * 1000, 2),
+        "maf_sampler_fit_latents_per_sec": round(maf_lps, 1),
         "peak_tflops_bf16": PEAK_TFLOPS_BF16,
     }
     out.update(_mfu_fields("mvtcae_mlp_fp32", mlp_flops, 1.0 / jax_sps))
@@ -473,6 +722,10 @@ def main():
     out.update(_mfu_fields("mmvae_dreg_bf16", mmvae_flops, mmvae_s))
     out.update(_mfu_fields("mopoe_fp32", mopoe_flops, mopoe_s))
     out.update(_mfu_fields("mvtcae_conv_fp32", conv_flops, conv_s))
+    out.update(_mfu_fields("mvtcae_conv_bf16", convb_flops, convb_s))
+    out.update(_mfu_fields("mmvaeplus_resnet_bf16", mmvp_flops, mmvp_s))
+    out.update(_mfu_fields("mvae_subset_fp32", mvae_flops, mvae_s))
+    out.update(_mfu_fields("cmvae_cluster_fp32", cmvae_flops, cmvae_s))
     print(json.dumps(out))
 
 

@@ -61,6 +61,10 @@ trainer_config = BaseTrainerConfig(
     learning_rate=5e-4,
     optimizer_cls="Adam",
     drop_last=True,
+    # device-resident data pipeline (dataset fits HBM); falls back
+    # to the host loader automatically when it doesn't
+    cache_on_device=True,
+    steps_per_execution=25,
     steps_predict=5,
     seed=args.seed,
 )

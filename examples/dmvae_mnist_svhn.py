@@ -47,6 +47,10 @@ trainer_config = BaseTrainerConfig(
     num_epochs=args.num_epochs,
     learning_rate=1e-3,
     optimizer_cls="Adam",
+    # device-resident data pipeline (dataset fits HBM); falls back
+    # to the host loader automatically when it doesn't
+    cache_on_device=True,
+    steps_per_execution=25,
     steps_predict=5,
     seed=args.seed,
 )

@@ -79,6 +79,10 @@ training_config = BaseTrainerConfig(
     steps_predict=5,
     optimizer_cls="Adam",
     optimizer_params=dict(amsgrad=True),
+    # device-resident data pipeline (dataset fits HBM); falls back
+    # to the host loader automatically when it doesn't
+    cache_on_device=True,
+    steps_per_execution=25,
     seed=args.seed,
 )
 
