@@ -265,25 +265,68 @@ class CoherenceEvaluator(Evaluator):
             return acc, mean_pair_acc, mean_acc_per_class
         return acc, mean_pair_acc
 
+    def _fused_joint_same_fn(self):
+        """Jitted decode + classifier-argmax + agreement check: one
+        dispatch and one scalar-sized fetch per chunk instead of one
+        fetch per modality. Only for models whose ``_decode_mods`` IS
+        the public decode path (the same ten families as the fused
+        cross sweep); None otherwise."""
+        if getattr(self.model, "_encode_masked", None) is None:
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+        mods = tuple(model.decoders)
+        clfs = self.clfs
+
+        def fn(params, z, modalities_z):
+            dec = model._decode_mods(params, z, mods,
+                                     modalities_z=modalities_z)
+            preds = [jnp.argmax(clfs[m](dec[m]), axis=-1) for m in mods]
+            same = jnp.stack([p == preds[0] for p in preds]).all(axis=0)
+            return same.astype(jnp.float32)
+
+        return jax.jit(fn)
+
     def joint_coherence(self):
         """Generate from the prior/sampler and check label agreement
         (reference ``:190-236``)."""
         all_same = []
         samples_to_generate = self.nb_samples_for_joint
+        fused_fn = (self._fused_joint_same_fn()
+                    if getattr(self.eval_config, "fused_sweep", True)
+                    else None)
+        params = self.model._ensure_params()
         while samples_to_generate > 0:
             n = min(self.batch_size, samples_to_generate)
             if self.sampler is None:
                 output_prior = self.model.generate_from_prior(n)
             else:
                 output_prior = self.sampler.sample(n)
-            output_decode = self.model.decode(output_prior)
-            labels = []
-            for m in output_decode.keys():
-                preds = np.asarray(self.clfs[m](output_decode[m]))
-                labels.append(np.argmax(preds, axis=1))
-            same = np.all(np.stack([lab == labels[0] for lab in labels]),
-                          axis=0)
-            all_same.append(same.astype(np.float32))
+            if fused_fn is not None:
+                z = output_prior["z"]
+                if z.ndim == 1:
+                    z = z[None]
+                modalities_z = (None
+                                if output_prior.get("one_latent_space", True)
+                                else output_prior["modalities_z"])
+                try:
+                    same = np.asarray(fused_fn(params, z, modalities_z))
+                except Exception as e:  # pragma: no cover - env dependent
+                    self.logger.info(
+                        "fused joint-coherence unavailable (%s); falling "
+                        "back to the per-modality loop", e)
+                    fused_fn = None
+            if fused_fn is None:
+                output_decode = self.model.decode(output_prior)
+                labels = []
+                for m in output_decode.keys():
+                    preds = np.asarray(self.clfs[m](output_decode[m]))
+                    labels.append(np.argmax(preds, axis=1))
+                same = np.all(
+                    np.stack([lab == labels[0] for lab in labels]), axis=0)
+            all_same.append(np.asarray(same, np.float32))
             samples_to_generate -= n
         joint_coherence = float(np.concatenate(all_same).mean())
         sampler_name = "prior" if self.sampler is None else self.sampler.name

@@ -40,26 +40,33 @@ class LikelihoodsEvaluator(Evaluator):
         final partial batch keeps the padded shape and never retraces
         (VERDICT r1 item 7).
         """
-        ll = 0.0
+        # per-batch results stay device-side during the loop (each
+        # float()/np.asarray is a full device round trip — 44 ms on a
+        # tunneled TPU); ONE batched fetch at the end.
+        import jax.numpy as jnp
+
+        partials = []
         for batch in self.test_loader:
             if self.unified or not hasattr(self.model,
                                            "compute_joint_nll_paper"):
-                nll = self.model.compute_joint_nll(
-                    batch, self.num_samples, self.batch_size_k
-                )
-                ll += float(np.asarray(nll))
-            else:
-                self.logger.info("Using the paper version of the joint nll.")
-                nll = np.asarray(self.model.compute_joint_nll_paper(
+                partials.append(self.model.compute_joint_nll(
                     batch, self.num_samples, self.batch_size_k
                 ))
-                if nll.ndim == 0:
+            else:
+                self.logger.info("Using the paper version of the joint nll.")
+                nll = self.model.compute_joint_nll_paper(
+                    batch, self.num_samples, self.batch_size_k
+                )
+                if getattr(nll, "ndim", 0) == 0:
                     # scalar variants (e.g. MoPoE) mask weights on-device
-                    ll += float(nll)
+                    partials.append(nll)
                 else:
                     # vector variants (e.g. MMVAE) return per-sample NLLs
-                    valid = np.asarray(batch.weights) > 0
-                    ll += float(np.sum(nll * valid))
+                    partials.append(jnp.sum(
+                        jnp.asarray(nll) * (batch.weights > 0),
+                        dtype=jnp.float32))
+        ll = float(np.sum(np.asarray(jnp.stack(
+            [jnp.asarray(p, jnp.float32) for p in partials]))))
         joint_nll = ll / self.n_data
         self.logger.info("Mean Joint likelihood : %s", joint_nll)
         self.metrics["joint_likelihood"] = joint_nll

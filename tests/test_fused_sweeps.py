@@ -197,6 +197,26 @@ def test_all_subsets_ordering():
                     ("b", "c")]
 
 
+@pytest.mark.parametrize("model_cls,config_cls,kw", MODELS)
+def test_fused_joint_coherence_matches_sequential(model_cls, config_cls,
+                                                  kw, dataset):
+    """joint_coherence with the in-graph decode+classifier agreement
+    check equals the host per-modality loop (same prior draws: the
+    latent sampling stays outside the fused fn)."""
+    clfs = jit_classifiers()
+    results = {}
+    for fused in (False, True):
+        model = build(model_cls, config_cls, **kw)
+        model.set_seed(13)
+        ev = CoherenceEvaluator(
+            model, clfs, dataset,
+            eval_config=CoherenceEvaluatorConfig(
+                batch_size=N, num_classes=N_CLASSES,
+                nb_samples_for_joint=40, fused_sweep=fused))
+        results[fused] = ev.joint_coherence()
+    assert results[0] == pytest.approx(results[1], abs=1e-9)
+
+
 def test_fused_coherence_multibatch(dataset):
     """Several test batches (incl. a padded final one): the fused path's
     per-row weighting must drop padding rows exactly like the host
