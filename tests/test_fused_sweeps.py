@@ -217,6 +217,29 @@ def test_fused_joint_coherence_matches_sequential(model_cls, config_cls,
     assert results[0] == pytest.approx(results[1], abs=1e-9)
 
 
+def test_fused_sweep_with_sharded_evaluation(dataset):
+    """fused_sweep composes with eval_config.n_devices: batches arrive
+    sharded over the data mesh, the vmapped sweep runs on them, and the
+    metrics match the single-device fused run."""
+    clfs = jit_classifiers()
+
+    def run(n_devices):
+        model = build(MVTCAE, MVTCAEConfig)
+        model.set_seed(4)
+        ev = CoherenceEvaluator(
+            model, clfs, dataset,
+            eval_config=CoherenceEvaluatorConfig(
+                batch_size=N, num_classes=N_CLASSES, fused_sweep=True,
+                n_devices=n_devices))
+        ev.cross_coherences()
+        return dict(ev.metrics)
+
+    a, b = run(1), run(4)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-6), k
+
+
 def test_fused_coherence_multibatch(dataset):
     """Several test batches (incl. a padded final one): the fused path's
     per-row weighting must drop padding rows exactly like the host
