@@ -438,7 +438,11 @@ def bench_trainer_e2e(n_epochs=3):
     from multivae_tpu.models import MVTCAE, MVTCAEConfig
     from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
 
-    n_samples = BATCH * (4 if SMOKE else 50)
+    # 200-step epochs: the per-EPOCH overhead (one scalar-fetch round
+    # trip for the NaN check/logging, ~44 ms through the TPU tunnel) is
+    # architectural floor, so epoch length sets the e2e/device ratio —
+    # 200 steps is PolyMNIST-scale (60k samples / 256).
+    n_samples = BATCH * (4 if SMOKE else 200)
     rng = np.random.default_rng(0)
     data = {m: rng.uniform(size=(n_samples, *d)).astype(np.float32)
             for m, d in DIMS.items()}
@@ -452,7 +456,7 @@ def bench_trainer_e2e(n_epochs=3):
         per_device_train_batch_size=BATCH,
         per_device_eval_batch_size=BATCH, learning_rate=1e-3, seed=0,
         n_devices=1, cache_on_device=True,
-        steps_per_execution=2 if SMOKE else 25,
+        steps_per_execution=2 if SMOKE else 200,
     )
     trainer = BaseTrainer(model, ds, training_config=cfg)
     assert trainer._train_cache is not None, "device cache failed to build"
