@@ -75,6 +75,36 @@ class DeviceDataCache:
         )
 
 
+class DeviceCachedLoader:
+    """Drop-in DataLoader replacement yielding DEVICE-resident batches
+    gathered from a ``DeviceDataCache`` (one tiny gather dispatch per
+    batch instead of a multi-megabyte host upload).
+
+    Batches are bit-identical to the wrapped host loader's: both consume
+    the same ``epoch_plan``. Used by the evaluators
+    (``metrics/base/evaluator_class.py``) whose sweeps re-read the test
+    set many times; the trainer has its own fused scan path.
+    """
+
+    def __init__(self, loader, cache: DeviceDataCache):
+        self.loader = loader
+        self.cache = cache
+        self._gather = jax.jit(
+            lambda cache, idx, w: cache.gather(idx, w))
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        idx_rows, w_rows = self.loader.epoch_plan()
+        for idx, w in zip(idx_rows, w_rows):
+            yield self._gather(self.cache, jnp.asarray(idx),
+                               jnp.asarray(w))
+
+
 def estimate_dataset_nbytes(dataset) -> int:
     """Estimated host bytes of the fully-materialized dataset (one sample
     materialized through ``get_batch``, scaled by len)."""

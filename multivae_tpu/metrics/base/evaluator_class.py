@@ -54,6 +54,24 @@ class Evaluator:
 
             self.test_loader = PrefetchLoader(self.test_loader, self.mesh,
                                               depth=2)
+        elif getattr(eval_config, "cache_on_device", False):
+            # HBM-resident test set: evaluator sweeps re-read the test
+            # set many times; gathering on device replaces a
+            # multi-megabyte upload per batch with one tiny dispatch.
+            # Falls back silently (with a logged reason) when unsafe.
+            from ...data.device_cache import (
+                DeviceCachedLoader,
+                build_device_cache,
+            )
+            from ...parallel.mesh import get_data_mesh
+
+            budget = int(getattr(eval_config, "device_cache_budget_gb",
+                                 8.0) * 1e9)
+            cache = build_device_cache(test_dataset, get_data_mesh(1),
+                                       budget)
+            if cache is not None:
+                self.test_loader = DeviceCachedLoader(self.test_loader,
+                                                      cache)
         if output is not None:
             Path(output).mkdir(parents=True, exist_ok=True)
         self.output = output

@@ -213,6 +213,72 @@ def test_steps_per_execution_validation():
     BaseTrainerConfig(steps_per_execution=4, cache_on_device=True)
 
 
+def test_device_cached_loader_matches_host_loader(dataset):
+    """DeviceCachedLoader yields batches bit-identical to the host
+    DataLoader (same epoch_plan)."""
+    from multivae_tpu.data.device_cache import DeviceCachedLoader
+
+    mesh = get_data_mesh(1)
+    cache = build_device_cache(dataset, mesh, 10**9)
+    host = DataLoader(dataset, 8, shuffle=False)
+    cached = DeviceCachedLoader(DataLoader(dataset, 8, shuffle=False),
+                                cache)
+    hb, cb = list(host), list(cached)
+    assert len(hb) == len(cb)
+    for a, b in zip(hb, cb):
+        for m in a.data:
+            np.testing.assert_array_equal(np.asarray(a.data[m]),
+                                          np.asarray(b.data[m]))
+        np.testing.assert_array_equal(np.asarray(a.weights),
+                                      np.asarray(b.weights))
+        np.testing.assert_array_equal(np.asarray(a.labels),
+                                      np.asarray(b.labels))
+
+
+def test_evaluator_device_cache_identical_metrics(dataset):
+    """Evaluators with the HBM-resident test set produce the same
+    metrics as with the host loader (coherence + likelihoods)."""
+    import jax.numpy as jnp
+
+    from multivae_tpu.data.device_cache import DeviceCachedLoader
+    from multivae_tpu.metrics import (
+        CoherenceEvaluator,
+        CoherenceEvaluatorConfig,
+        LikelihoodsEvaluator,
+        LikelihoodsEvaluatorConfig,
+    )
+
+    model = MVTCAE(model_config(), seed=0)
+    rng = np.random.default_rng(7)
+    W1 = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+    W2 = jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32))
+    clfs = {"mod1": lambda x: x @ W1, "mod2": lambda x: x @ W2}
+
+    results = {}
+    for cached in (False, True):
+        model.set_seed(3)
+        ev = CoherenceEvaluator(
+            model, clfs, dataset,
+            eval_config=CoherenceEvaluatorConfig(
+                batch_size=len(dataset), num_classes=3,
+                cache_on_device=cached))
+        assert isinstance(ev.test_loader, DeviceCachedLoader) == cached
+        ev.cross_coherences()
+        results[cached] = dict(ev.metrics)
+    assert results[False] == results[True]
+
+    nlls = {}
+    for cached in (False, True):
+        model.set_seed(3)
+        ev = LikelihoodsEvaluator(
+            model, dataset,
+            eval_config=LikelihoodsEvaluatorConfig(
+                batch_size=16, num_samples=16, batch_size_k=8,
+                cache_on_device=cached))
+        nlls[cached] = ev.joint_nll()
+    assert nlls[False] == pytest.approx(nlls[True], rel=1e-6)
+
+
 def test_cached_full_train_loop_saves_model(dataset, tmp_path):
     """The full train() loop (callbacks, best-model, final save) works on
     the cached path."""
