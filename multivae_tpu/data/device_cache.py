@@ -91,6 +91,14 @@ class DeviceCachedLoader:
         self.cache = cache
         self._gather = jax.jit(
             lambda cache, idx, w: cache.gather(idx, w))
+        # Host-side view of the tiny per-batch leaves: the metric loops
+        # read ``batch.weights`` / ``batch.labels`` with np.asarray each
+        # batch, and a device-resident copy costs a blocking ~44 ms
+        # tunnel round trip apiece. One fetch here; per-batch rows are
+        # then sliced on host (bit-identical values — same source
+        # array), while the bulky ``data``/``masks`` stay on device.
+        self._labels_host = (None if cache.labels is None
+                             else np.asarray(cache.labels))
 
     def set_epoch(self, epoch: int):
         self.loader.set_epoch(epoch)
@@ -101,8 +109,12 @@ class DeviceCachedLoader:
     def __iter__(self):
         idx_rows, w_rows = self.loader.epoch_plan()
         for idx, w in zip(idx_rows, w_rows):
-            yield self._gather(self.cache, jnp.asarray(idx),
-                               jnp.asarray(w))
+            batch = self._gather(self.cache, jnp.asarray(idx),
+                                 jnp.asarray(w))
+            yield batch.replace(
+                weights=np.asarray(w, np.float32),
+                labels=(None if self._labels_host is None
+                        else self._labels_host[np.asarray(idx)]))
 
 
 def estimate_dataset_nbytes(dataset) -> int:
@@ -191,12 +203,22 @@ def build_device_cache(dataset, mesh, budget_bytes: int,
         rep = replicated_sharding(mesh)
         put = lambda x: jax.device_put(x, rep)  # noqa: E731
 
-    cache = DeviceDataCache(
-        data=jax.tree.map(put, data),
-        masks=jax.tree.map(put, masks),
-        labels=None if labels is None else put(labels),
-        incomplete=incomplete,
-    )
+    # The budget check above is an estimate against a configured cap, not
+    # against free HBM (params + a trainer's caches may already occupy the
+    # chip) — so the actual transfer can still fail. Fall back to the host
+    # loader instead of crashing construction.
+    try:
+        cache = DeviceDataCache(
+            data=jax.tree.map(put, data),
+            masks=jax.tree.map(put, masks),
+            labels=None if labels is None else put(labels),
+            incomplete=incomplete,
+        )
+    except Exception as e:
+        logger.warning(
+            "cache_on_device: device transfer failed (%s); using the host "
+            "loader.", e)
+        return None
     logger.info(
         "cache_on_device: dataset resident in HBM (~%.3f GB, %d samples); "
         "epochs run with no per-step host transfers.", est / 1e9, n)

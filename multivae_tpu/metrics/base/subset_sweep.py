@@ -39,7 +39,8 @@ def all_subsets(modalities: Sequence[str], min_size: int = 1,
 def make_subset_sweep_fn(model, subsets: Sequence[Tuple[str, ...]],
                          N: int = 1,
                          postprocess: Optional[Dict[str, Callable]] = None,
-                         gen_mods: Optional[Sequence[str]] = None):
+                         gen_mods: Optional[Sequence[str]] = None,
+                         subset_chunk: Optional[int] = None):
     """Build a jitted ``fn(params, batch, rngs) -> {mod: (S, ...)}``.
 
     For each row s of the subset matrix the function encodes the batch
@@ -48,6 +49,14 @@ def make_subset_sweep_fn(model, subsets: Sequence[Tuple[str, ...]],
     ``gen_mods``, and applies ``postprocess[mod]`` in-graph. ``rngs`` is a
     (S,)-stacked key array — one independent key per subset, mirroring
     the sequential path's one ``next_rng()`` per subset call.
+
+    ``subset_chunk`` bounds how many subsets run CONCURRENTLY: the sweep
+    stays one compiled program / one dispatch per batch, but the subset
+    axis is processed in chunks of that size (``lax.map(batch_size=...)``),
+    capping peak activation memory at chunk x the per-subset working set.
+    Needed when ``postprocess`` embeds through a large network (FID's
+    InceptionV3 at 299x299 would OOM a v5e if all 2^(M-1)-1 subsets were
+    vmapped at once). None = all subsets at once.
 
     Returns None when the model has no ``_encode_masked`` (JNF/TELBO/
     Nexus/CVAE): callers fall back to the per-subset loop.
@@ -69,8 +78,16 @@ def make_subset_sweep_fn(model, subsets: Sequence[Tuple[str, ...]],
                      for m in recon if m in postprocess}
         return recon
 
+    chunk = subset_chunk
+    if chunk is not None:
+        chunk = max(1, min(int(chunk), len(subsets)))
+
     @jax.jit
     def sweep(params, batch, rngs):
+        if chunk is not None and chunk < len(subsets):
+            return jax.lax.map(
+                lambda rs: one(params, batch, rs[0], rs[1]),
+                (rngs, subset_matrix), batch_size=chunk)
         return jax.vmap(lambda r, s: one(params, batch, r, s))(
             rngs, subset_matrix)
 

@@ -147,7 +147,13 @@ class CoherenceEvaluator(Evaluator):
                 first = False
             else:
                 preds_dev = sweep(params, batch, rngs)
-            preds = {m: np.asarray(v) for m, v in preds_dev.items()}
+            # ONE device->host transfer for all modalities (each
+            # individual np.asarray is a full tunnel round trip,
+            # measured ~44 ms apiece)
+            mods_order = list(preds_dev)
+            stacked = np.asarray(
+                jnp.stack([preds_dev[m] for m in mods_order]))
+            preds = {m: stacked[i] for i, m in enumerate(mods_order)}
 
             valid = np.asarray(batch.weights) > 0
             labels = np.asarray(batch.labels)

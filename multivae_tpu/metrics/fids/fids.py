@@ -204,6 +204,31 @@ class FIDEvaluator(Evaluator):
         self.metrics[f"Conditional FD from {subset_name} to {gen_mod}"] = fd
         return fd
 
+    def _subset_chunk(self, batch, gen_mod):
+        """How many subsets the fused conditional-FID sweep may embed
+        concurrently: explicit ``eval_config.subset_chunk`` if set, else
+        sized so chunk x (embedder input bytes x ~8 activation overhead)
+        fits ``subset_activation_budget_gb``. Shape-only (``eval_shape``);
+        nothing is compiled or allocated here."""
+        cfg = self.eval_config
+        explicit = getattr(cfg, "subset_chunk", None)
+        if explicit is not None:
+            return int(explicit)
+        import jax.numpy as jnp
+
+        transform = self.inception_transform
+        x = jax.ShapeDtypeStruct(
+            tuple(batch.data[gen_mod].shape), jnp.float32)
+        try:
+            emb_in = jax.eval_shape(transform, x) if transform is not None \
+                else x
+        except Exception:  # pragma: no cover - exotic transforms
+            emb_in = x
+        per_subset = int(np.prod(emb_in.shape)) * 4 * 8
+        budget = float(
+            getattr(cfg, "subset_activation_budget_gb", 4.0)) * 1e9
+        return max(1, int(budget // max(per_subset, 1)))
+
     def _fused_conditional_fids(self, gen_mod):
         """All conditioning subsets in ONE compiled device call per test
         batch: traced-subset encode + decode + (transform + embedder)
@@ -218,6 +243,8 @@ class FIDEvaluator(Evaluator):
         )
 
         model = self.model
+        if getattr(model, "_encode_masked", None) is None:
+            return None
         modalities = [k for k in model.encoders if k != gen_mod]
         subsets = all_subsets(modalities)
         transform = self.inception_transform
@@ -230,22 +257,25 @@ class FIDEvaluator(Evaluator):
                 out = out["embedding"]
             return out
 
-        sweep = make_subset_sweep_fn(model, subsets, N=1,
-                                     postprocess={gen_mod: post},
-                                     gen_mods=(gen_mod,))
-        if sweep is None:
-            return None
-
         params = model._ensure_params()
         acts_true = []
         acts_gen = {s: [] for s in subsets}
-        first = True
+        sweep = None
         for batch in self.test_loader:
             valid = np.asarray(batch.weights) > 0
             true_data = np.asarray(batch.data[gen_mod])[valid]
             acts_true.append(self._embed(gen_mod, true_data))
             rngs = subset_rngs(model, len(subsets))
-            if first:
+            if sweep is None:
+                # chunk the subset axis so the in-graph embedder's
+                # activations stay within budget (all 2^(M-1)-1 subsets
+                # vmapped through a 299x299 Inception would OOM the chip)
+                sweep = make_subset_sweep_fn(
+                    model, subsets, N=1, postprocess={gen_mod: post},
+                    gen_mods=(gen_mod,),
+                    subset_chunk=self._subset_chunk(batch, gen_mod))
+                if sweep is None:
+                    return None
                 try:
                     acts_dev = sweep(params, batch, rngs)
                 except Exception as e:  # pragma: no cover - env dependent
@@ -253,7 +283,6 @@ class FIDEvaluator(Evaluator):
                         "fused conditional-FID sweep unavailable (%s); "
                         "falling back to the per-subset loop", e)
                     return None
-                first = False
             else:
                 acts_dev = sweep(params, batch, rngs)
             acts = np.asarray(acts_dev[gen_mod])

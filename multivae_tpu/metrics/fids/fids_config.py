@@ -23,8 +23,20 @@ class FIDEvaluatorConfig(EvaluatorConfig):
             see ``metrics/base/subset_sweep.py``). Falls back to the
             per-subset loop when the model or embedder can't be traced.
             TPU-native extension, on by default.
+        subset_chunk: max number of conditioning subsets embedded
+            CONCURRENTLY inside the fused sweep (the sweep stays one
+            program; the subset axis is scanned in chunks of this size).
+            None = sized automatically from ``subset_activation_budget_gb``
+            and the embedder's input shape — with the 299x299 Inception
+            embedder this lands at 1-2 concurrent subsets (all 15 at once
+            would OOM a 16 GB chip); tiny custom embedders get the full
+            vmap.
+        subset_activation_budget_gb: activation-memory budget used by the
+            automatic ``subset_chunk`` sizing.
     """
 
     inception_weights_path: Optional[str] = "../fid_model/model.msgpack"
     dims_inception: int = 2048
     fused_sweep: bool = True
+    subset_chunk: Optional[int] = None
+    subset_activation_budget_gb: float = 4.0

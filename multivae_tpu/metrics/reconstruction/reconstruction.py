@@ -113,8 +113,12 @@ class Reconstruction(Evaluator):
         sums = {s: {m: [0.0, 0] for m in s} for s in subsets}
         for batch in self.test_loader:
             rngs = subset_rngs(model, len(subsets))
-            vals = {m: np.asarray(v)
-                    for m, v in sweep(params, batch, rngs).items()}
+            vals_dev = sweep(params, batch, rngs)
+            # ONE device->host transfer for all modalities (per-array
+            # fetches cost a full tunnel round trip apiece)
+            stacked = np.asarray(
+                jnp.stack([vals_dev[m] for m in mods]))
+            vals = {m: stacked[i] for i, m in enumerate(mods)}
             valid = np.asarray(batch.weights) > 0
             for si, s in enumerate(subsets):
                 for m in s:

@@ -180,6 +180,61 @@ def test_fused_conditional_fid_matches_sequential(dataset):
         assert results[0][k] == pytest.approx(results[1][k], rel=1e-3), k
 
 
+def test_fused_conditional_fid_chunked_matches_unchunked(dataset):
+    """subset_chunk scans the subset axis in bounded chunks (the OOM
+    guard for large embedders like Inception) — results must be
+    identical to the all-at-once vmap."""
+    rng = np.random.default_rng(3)
+    ws = {m: rng.normal(size=(int(np.prod(d)), 5)).astype(np.float32)
+          for m, d in DIMS.items()}
+    enc = {m: (lambda W: lambda x: jnp.reshape(x, (x.shape[0], -1))
+               @ jnp.asarray(W))(ws[m]) for m in DIMS}
+    results = {}
+    for chunk in (None, 1, 2):
+        model = build(MVTCAE, MVTCAEConfig)
+        model.set_seed(9)
+        ev = FIDEvaluator(model, dataset,
+                          eval_config=FIDEvaluatorConfig(
+                              batch_size=N, fused_sweep=True,
+                              subset_chunk=chunk),
+                          custom_encoders=enc)
+        ev.compute_all_conditional_fids("m0")
+        results[chunk] = dict(ev.metrics)
+    assert results[None].keys() == results[1].keys() == results[2].keys()
+    for k in results[None]:
+        assert results[1][k] == pytest.approx(results[None][k],
+                                              rel=1e-6), k
+        assert results[2][k] == pytest.approx(results[None][k],
+                                              rel=1e-6), k
+
+
+def test_fid_subset_chunk_auto_sizing(dataset):
+    """Auto sizing: Inception-scale embedder inputs (3x299x299 after the
+    shape adapter) must get a small chunk; tiny custom embedders get the
+    full subset axis."""
+    from multivae_tpu.metrics.fids.fids import AdaptShapeFID
+
+    model = build(MVTCAE, MVTCAEConfig)
+    enc = {m: (lambda x: jnp.reshape(x, (x.shape[0], -1))[:, :5])
+           for m in DIMS}
+    ev = FIDEvaluator(model, dataset,
+                      eval_config=FIDEvaluatorConfig(batch_size=N),
+                      custom_encoders=enc)
+    batch = next(iter(ev.test_loader))
+    # tiny embedder input -> effectively unchunked
+    assert ev._subset_chunk(batch, "m0") > 64
+    # Inception shape adapter at B=512 -> must chunk down near 1
+    ev.inception_transform = AdaptShapeFID()
+
+    class Big:
+        data = {"m0": jnp.zeros((512, 1, 16, 16))}
+
+    assert ev._subset_chunk(Big(), "m0") <= 2
+    # explicit config wins
+    ev.eval_config.subset_chunk = 7
+    assert ev._subset_chunk(Big(), "m0") == 7
+
+
 def test_sweep_builder_refuses_models_without_masked_encode(dataset):
     """JNF/TELBO/Nexus-style models (no traced-subset encode) return
     None from the builder -> evaluators fall back."""
