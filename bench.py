@@ -428,20 +428,24 @@ def bench_mvtcae_conv(n_steps=10, mixed=False):
 
 
 def bench_trainer_e2e(n_epochs=3):
-    """END-TO-END ``BaseTrainer`` epochs at the headline scale with the
-    device-resident dataset cache (``cache_on_device=True``,
-    ``steps_per_execution=25``): the loop a USER runs — callbacks,
-    metric accumulation, epoch bookkeeping — not a resident-batch
-    microbench. Reference counterpart: the torch epoch loop streaming
-    every batch host->device (``base_trainer.py:664-687``)."""
+    """END-TO-END ``trainer.train()`` epochs at the headline scale: the
+    loop a USER runs — callbacks, metric accumulation, NaN guards,
+    best-model tracking, logging — with the device-resident dataset
+    cache (``cache_on_device=True``, ``steps_per_execution=200``) and
+    lag-1 pipelined epoch finalization (``pipeline_epochs=True``, the
+    default). Times epochs 2..N via callbacks so epoch 1 absorbs
+    compile and the final model save is excluded. Reference
+    counterpart: the torch epoch loop streaming every batch
+    host->device (``base_trainer.py:664-687``)."""
     from multivae_tpu.data import MultimodalBaseDataset
     from multivae_tpu.models import MVTCAE, MVTCAEConfig
     from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
+    from multivae_tpu.trainers.base.callbacks import TrainingCallback
 
-    # 200-step epochs: the per-EPOCH overhead (one scalar-fetch round
-    # trip for the NaN check/logging, ~44 ms through the TPU tunnel) is
-    # architectural floor, so epoch length sets the e2e/device ratio —
-    # 200 steps is PolyMNIST-scale (60k samples / 256).
+    # 200-step epochs: the per-EPOCH overhead (the scalar-fetch round
+    # trip for the NaN check/logging, ~44 ms through the TPU tunnel —
+    # overlapped by pipelining) sets the e2e/device ratio — 200 steps
+    # is PolyMNIST-scale (60k samples / 256).
     n_samples = BATCH * (4 if SMOKE else 200)
     rng = np.random.default_rng(0)
     data = {m: rng.uniform(size=(n_samples, *d)).astype(np.float32)
@@ -452,20 +456,32 @@ def bench_trainer_e2e(n_epochs=3):
         decoders_dist={m: "bernoulli" for m in DIMS},
     ), seed=0)
     cfg = BaseTrainerConfig(
-        output_dir="/tmp/bench_e2e", num_epochs=1,
+        output_dir="/tmp/bench_e2e", num_epochs=1 + n_epochs,
         per_device_train_batch_size=BATCH,
         per_device_eval_batch_size=BATCH, learning_rate=1e-3, seed=0,
         n_devices=1, cache_on_device=True,
         steps_per_execution=2 if SMOKE else 200,
     )
-    trainer = BaseTrainer(model, ds, training_config=cfg)
+
+    class _Timer(TrainingCallback):
+        t_start = None
+        t_last_log = None
+
+        def on_epoch_begin(self, training_config, **kwargs):
+            if kwargs.get("epoch") == 2:
+                self.t_start = time.perf_counter()
+
+        def on_log(self, training_config, logs, **kwargs):
+            self.t_last_log = time.perf_counter()
+
+    timer = _Timer()
+    trainer = BaseTrainer(model, ds, training_config=cfg,
+                          callbacks=[timer])
     assert trainer._train_cache is not None, "device cache failed to build"
-    trainer.train_step(1)  # compile + warm
+    assert trainer._pipeline_epochs_eligible(), "pipelining unexpectedly off"
+    trainer.train()
     steps_per_epoch = len(trainer.train_loader)
-    t0 = time.perf_counter()
-    for e in range(2, 2 + n_epochs):
-        trainer.train_step(e)
-    dt = time.perf_counter() - t0
+    dt = timer.t_last_log - timer.t_start
     return n_epochs * steps_per_epoch / dt
 
 

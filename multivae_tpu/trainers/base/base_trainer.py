@@ -181,6 +181,7 @@ class BaseTrainer:
         self._eval_step_fn = None
         self._cached_train_fns = {}
         self._cached_eval_fns = {}
+        self._plan_cache = {}
 
         # Device-resident dataset caches (TPU-native: see data/device_cache)
         self._train_cache = None
@@ -373,18 +374,53 @@ class BaseTrainer:
         MultistageTrainer)."""
         return best_train_loss, best_eval_loss
 
-    @staticmethod
-    def _fetch_epoch_scalars(loss_sum_total, metric_sums):
-        """Materialize the epoch's device scalars in ONE device->host
-        transfer (each individual ``float(x)`` costs a full round trip —
-        measured 44 ms apiece through the TPU tunnel)."""
+    _pack_scalars_fn = None
+
+    def _pack_epoch_scalars(self, loss_sum_total, metric_sums):
+        """Fuse an epoch's device scalars (loss sum + metric sums) into
+        ONE device ``(1+n_metrics,)`` f32 vector at dispatch time,
+        returning ``(vec, keys)``. The flush-side fetch then touches a
+        single buffer per epoch: the tunnel's fetch cost scales with
+        the NUMBER of argument buffers, not bytes — a depth-8 flush
+        stacking 72 loose scalar buffers in one program measured
+        ~620 ms idle and multi-second under host load (a handle
+        round trip per buffer), vs one ~44 ms round trip for packed
+        vectors. The pack itself is one tiny async dispatch riding
+        behind the epoch's compute."""
         keys = list(metric_sums)
-        stacked = jnp.stack(
-            [jnp.asarray(loss_sum_total, jnp.float32)]
-            + [jnp.asarray(metric_sums[k], jnp.float32) for k in keys])
-        vals = np.asarray(stacked)
-        return float(vals[0]), {k: float(v)
-                                for k, v in zip(keys, vals[1:])}
+        if BaseTrainer._pack_scalars_fn is None:
+            BaseTrainer._pack_scalars_fn = jax.jit(
+                lambda loss, vals: jnp.stack(
+                    [jnp.asarray(loss, jnp.float32)]
+                    + [jnp.asarray(v, jnp.float32) for v in vals]))
+        vec = BaseTrainer._pack_scalars_fn(
+            loss_sum_total, [metric_sums[k] for k in keys])
+        return vec, keys
+
+    _concat_scalars_fn = None
+
+    def _fetch_scalar_groups(self, groups):
+        """Materialize several packed ``(vec, keys)`` epoch-scalar
+        groups (see ``_pack_epoch_scalars``) in ONE device->host
+        transfer (each individual ``float(x)`` costs a full round trip
+        — measured 44 ms apiece through the TPU tunnel). Returns one
+        ``(loss, {k: v})`` tuple per group."""
+        vecs = [vec for vec, _ in groups]
+        if len(vecs) == 1:
+            vals = np.asarray(vecs[0])
+        else:
+            if BaseTrainer._concat_scalars_fn is None:
+                BaseTrainer._concat_scalars_fn = jax.jit(
+                    lambda vs: jnp.concatenate(vs))
+            vals = np.asarray(BaseTrainer._concat_scalars_fn(vecs))
+        out, i = [], 0
+        for _, keys in groups:
+            loss = float(vals[i])
+            i += 1
+            out.append((loss, {k: float(vals[i + j])
+                               for j, k in enumerate(keys)}))
+            i += len(keys)
+        return out
 
     _tree_copy_fn = None
 
@@ -523,14 +559,67 @@ class BaseTrainer:
         self._cached_eval_fns[key] = fn
         return fn
 
+    def _upload_epoch_plan(self, which: str, loader, epoch: int):
+        """Device copy of the loader's epoch index plan. shuffle=False
+        loaders reuse ONE uploaded plan for every epoch; shuffled
+        loaders upload a BLOCK of ``pipeline_depth`` consecutive
+        epochs' plans in one host->device transfer (each transfer costs
+        a full ~29 ms device-queue round trip through the tunnel
+        regardless of size — the plans are tiny — so batching divides
+        that latency by the block size) and serve per-epoch device
+        slices from it. The cached-epoch runners request the NEXT
+        epoch's plan right after dispatching the current one, so block
+        uploads ride under device compute instead of idling it."""
+        key = (which, epoch if loader.shuffle else -1)
+        dev = self._plan_cache.get(key)
+        if dev is None:
+            if not loader.shuffle:
+                loader.set_epoch(epoch)
+                idx_mat, _ = loader.epoch_plan()
+                dev = self._cache_put(idx_mat)
+                self._plan_cache[key] = dev
+                return dev
+            block_n = max(1, getattr(self.training_config,
+                                     "pipeline_depth", 1))
+            last = self.training_config.num_epochs
+            epochs = list(range(epoch, min(epoch + block_n, last + 1)))
+            if not epochs:
+                epochs = [epoch]
+            mats = []
+            for e in epochs:
+                loader.set_epoch(e)
+                m, _ = loader.epoch_plan()
+                mats.append(m)
+            block = self._cache_put(np.stack(mats))
+            # Unstack in ONE jitted program — eager per-epoch slicing
+            # costs a tunnel round trip per slice (~35 ms each).
+            slices = self._unstack_fn(len(epochs))(block)
+            for e, s in zip(epochs, slices):
+                self._plan_cache[(which, e)] = s
+            dev = self._plan_cache[key]
+        return dev
+
+    _unstack_fns = {}
+
+    @staticmethod
+    def _unstack_fn(n: int):
+        fn = BaseTrainer._unstack_fns.get(n)
+        if fn is None:
+            fn = jax.jit(lambda b: [b[i] for i in range(n)])
+            BaseTrainer._unstack_fns[n] = fn
+        return fn
+
+    def _evict_epoch_plan(self, which: str, loader, epoch: int):
+        if loader.shuffle:
+            self._plan_cache.pop((which, epoch), None)
+
     def _run_cached_train_epoch(self, epoch: int):
         """Epoch over the HBM-resident dataset: uploads only the tiny
         (n_batches, B) index plan once, then dispatches
         ``steps_per_execution``-step scans carrying two scalars each."""
+        idx_dev = self._upload_epoch_plan("train", self.train_loader, epoch)
         self.train_loader.set_epoch(epoch)
-        idx_mat, _ = self.train_loader.epoch_plan()
         n_batches = len(self.train_loader)
-        idx_dev = self._cache_put(idx_mat)
         epoch_arr = np.float32(epoch)
         chunk = self.training_config.steps_per_execution
 
@@ -550,13 +639,17 @@ class BaseTrainer:
             for _ in range(n):
                 self.callback_handler.on_train_step_end(self.training_config)
             b += n
+        # The device is busy with the epoch's chunks now — upload the
+        # next epoch's plan so the transfer rides under the compute.
+        if epoch < self.training_config.num_epochs:
+            self._upload_epoch_plan("train", self.train_loader, epoch + 1)
+        self._evict_epoch_plan("train", self.train_loader, epoch)
         return loss_sum_total, metric_sums
 
     def _run_cached_eval_epoch(self, epoch: int):
+        idx_dev = self._upload_epoch_plan("eval", self.eval_loader, epoch)
         self.eval_loader.set_epoch(epoch)
-        idx_mat, _ = self.eval_loader.epoch_plan()
         n_batches = len(self.eval_loader)
-        idx_dev = self._cache_put(idx_mat)
         epoch_arr = np.float32(epoch)
         rng = jax.random.key(self.training_config.seed + 1000 + epoch)
         chunk = self.training_config.steps_per_execution
@@ -577,10 +670,27 @@ class BaseTrainer:
             for _ in range(n):
                 self.callback_handler.on_eval_step_end(self.training_config)
             b += n
+        if epoch < self.training_config.num_epochs:
+            self._upload_epoch_plan("eval", self.eval_loader, epoch + 1)
+        self._evict_epoch_plan("eval", self.eval_loader, epoch)
         return loss_sum_total, metric_sums
 
     def train_step(self, epoch: int):
         """One epoch over the train loader; returns (epoch_loss, metrics)."""
+        packed = self._train_epoch_device(epoch)
+        loss_sum, fetched = self._fetch_scalar_groups([packed])[0]
+        epoch_loss = loss_sum / len(self.train_dataset)
+        if np.isnan(epoch_loss) or np.isinf(epoch_loss):
+            raise ArithmeticError("NaN detected in train loss")
+        n_batches = len(self.train_loader)
+        epoch_metrics = {k: v / n_batches for k, v in fetched.items()}
+        return epoch_loss, epoch_metrics
+
+    def _train_epoch_device(self, epoch: int):
+        """Dispatch one train epoch; returns the epoch's DEVICE-resident
+        packed scalars ``(vec, keys)`` without forcing a device->host
+        transfer (the pipelined ``train()`` loop overlaps that fetch
+        with the next epoch's compute)."""
         self.callback_handler.on_train_step_begin(
             self.training_config, train_loader=self.train_loader, epoch=epoch,
         )
@@ -617,21 +727,31 @@ class BaseTrainer:
         # ONE jitted program — per-leaf jnp.copy costs a dispatch per leaf
         # (measured 54 ms/epoch through the TPU tunnel vs ~3 ms fused).
         self.model.params = self._tree_copy(self.state.params)
-        self.model.update()
-        self.state = self.state.replace(
-            params=self._tree_copy(self.model.params)
-        )
-
-        loss_sum, fetched = self._fetch_epoch_scalars(loss_sum_total,
-                                                      metric_sums)
-        epoch_loss = loss_sum / dataset_size
-        if np.isnan(epoch_loss) or np.isinf(epoch_loss):
-            raise ArithmeticError("NaN detected in train loss")
-        epoch_metrics = {k: v / n_batches for k, v in fetched.items()}
-        return epoch_loss, epoch_metrics
+        if type(self.model).update is not BaseModel.update:
+            # The epoch-end self-update hook may mutate model.params —
+            # propagate the result back into the (donated) TrainState.
+            # Models with the default no-op hook skip the second copy
+            # (one fused device program, ~3 ms/epoch on the tunnel).
+            self.model.update()
+            self.state = self.state.replace(
+                params=self._tree_copy(self.model.params)
+            )
+        return self._pack_epoch_scalars(loss_sum_total, metric_sums)
 
     def eval_step(self, epoch: int):
         """One epoch over the eval loader (no grad)."""
+        packed = self._eval_epoch_device(epoch)
+        loss_sum, fetched = self._fetch_scalar_groups([packed])[0]
+        epoch_loss = loss_sum / len(self.eval_dataset)
+        if np.isnan(epoch_loss) or np.isinf(epoch_loss):
+            raise ArithmeticError("NaN detected in eval loss")
+        n_batches = len(self.eval_loader)
+        epoch_metrics = {k: v / n_batches for k, v in fetched.items()}
+        return epoch_loss, epoch_metrics
+
+    def _eval_epoch_device(self, epoch: int):
+        """Dispatch one eval epoch; returns DEVICE-resident sums (see
+        ``_train_epoch_device``)."""
         self.callback_handler.on_eval_step_begin(
             self.training_config, eval_loader=self.eval_loader, epoch=epoch,
         )
@@ -659,13 +779,7 @@ class BaseTrainer:
                 update_dict(metric_sums, out["metrics"])
                 self.callback_handler.on_eval_step_end(self.training_config)
 
-        loss_sum, fetched = self._fetch_epoch_scalars(loss_sum_total,
-                                                      metric_sums)
-        epoch_loss = loss_sum / dataset_size
-        if np.isnan(epoch_loss) or np.isinf(epoch_loss):
-            raise ArithmeticError("NaN detected in eval loss")
-        epoch_metrics = {k: v / n_batches for k, v in fetched.items()}
-        return epoch_loss, epoch_metrics
+        return self._pack_epoch_scalars(loss_sum_total, metric_sums)
 
     def _schedulers_step(self, metric=None):
         if self.scheduler is None:
@@ -676,6 +790,132 @@ class BaseTrainer:
     @property
     def current_learning_rate(self) -> float:
         return get_learning_rate(self.state.opt_state)
+
+    def _pipeline_epochs_eligible(self) -> bool:
+        """Deferred epoch finalization is safe only when nothing on the host
+        needs epoch N's fetched losses before epoch N+1's device work is
+        dispatched: no LR scheduler (steps on the epoch loss) and no
+        subclass epoch hooks (the MultistageTrainer's
+        ``prepare_train_step`` resets the optimizer from loop state)."""
+        if not getattr(self.training_config, "pipeline_epochs", True):
+            return False
+        if self.scheduler is not None:
+            return False
+        cls = type(self)
+        return (cls.prepare_train_step is BaseTrainer.prepare_train_step
+                and cls.train_step is BaseTrainer.train_step
+                and cls.eval_step is BaseTrainer.eval_step)
+
+    def _epoch_needs_sync_finalize(self, epoch: int) -> bool:
+        """Checkpoint and prediction epochs consume the CURRENT
+        TrainState / model params on the host, so their finalization
+        cannot lag behind the device."""
+        cfg = self.training_config
+        if cfg.steps_saving is not None and epoch % cfg.steps_saving == 0:
+            return True
+        return (cfg.steps_predict is not None
+                and (epoch % cfg.steps_predict == 0 or epoch == 1))
+
+    def _finalize_epochs(self, entries, file_logger=None):
+        """Host side of a RUN of deferred epochs: fetch every entry's
+        packed device scalar vector (``_pack_epoch_scalars``) in ONE
+        device->host transfer, then run each epoch's host logic in
+        order. Entries are ``(epoch, train_sums, eval_sums,
+        candidate_params)`` tuples."""
+        groups = []
+        for _, train_sums, eval_sums, _ in entries:
+            groups.append(train_sums)
+            if eval_sums is not None:
+                groups.append(eval_sums)
+        fetched = self._fetch_scalar_groups(groups)
+        i = 0
+        for epoch, train_sums, eval_sums, candidate_params in entries:
+            t_fetched = fetched[i]
+            i += 1
+            e_fetched = None
+            if eval_sums is not None:
+                e_fetched = fetched[i]
+                i += 1
+            self._finalize_epoch_host(epoch, t_fetched, e_fetched,
+                                      candidate_params,
+                                      file_logger=file_logger)
+
+    def _finalize_epoch_host(self, epoch, t_fetched, e_fetched,
+                             candidate_params, file_logger=None):
+        """Host logic of one epoch's tail given ALREADY-FETCHED scalars:
+        NaN guards, scheduler step, best-model tracking, prediction
+        grids, checkpointing, logging. ``candidate_params`` is the
+        post-epoch parameter snapshot taken before any later epoch ran,
+        so deferred finalization tracks the right weights. Reference
+        epoch tail: ``src/multivae/trainers/base/base_trainer.py:480-577``."""
+        t_loss_sum, t_metrics = t_fetched
+        epoch_train_loss = t_loss_sum / len(self.train_dataset)
+        if np.isnan(epoch_train_loss) or np.isinf(epoch_train_loss):
+            raise ArithmeticError("NaN detected in train loss")
+        n_train_batches = len(self.train_loader)
+        metrics = {"train_" + k: v / n_train_batches
+                   for k, v in t_metrics.items()}
+        metrics["train_epoch_loss"] = epoch_train_loss
+
+        if e_fetched is not None:
+            e_loss_sum, e_metrics = e_fetched
+            epoch_eval_loss = e_loss_sum / len(self.eval_dataset)
+            if np.isnan(epoch_eval_loss) or np.isinf(epoch_eval_loss):
+                raise ArithmeticError("NaN detected in eval loss")
+            n_eval_batches = len(self.eval_loader)
+            metrics["eval_epoch_loss"] = epoch_eval_loss
+            update_dict(metrics, {"eval_" + k: v / n_eval_batches
+                                  for k, v in e_metrics.items()})
+            self._schedulers_step(epoch_eval_loss)
+        else:
+            epoch_eval_loss = self.best_eval_loss
+            self._schedulers_step(epoch_train_loss)
+
+        if epoch <= self.start_keep_best_epoch:
+            self._best_params = self._tree_copy(candidate_params)
+            logger.info("New model saved!")
+        elif (epoch_eval_loss < self.best_eval_loss
+              and not self.training_config.keep_best_on_train):
+            self.best_eval_loss = epoch_eval_loss
+            self._best_params = self._tree_copy(candidate_params)
+            logger.info("New best model on eval saved!")
+        elif (epoch_train_loss < self.best_train_loss
+              and self.training_config.keep_best_on_train):
+            self.best_train_loss = epoch_train_loss
+            self._best_params = self._tree_copy(candidate_params)
+            logger.info("New best model on train saved!")
+
+        if (self.training_config.steps_predict is not None
+                and (epoch % self.training_config.steps_predict == 0
+                     or epoch == 1)
+                and self.is_main_process):
+            reconstructions = self.predict(epoch)
+            self.callback_handler.on_prediction_step(
+                self.training_config, reconstructions=reconstructions,
+                global_step=epoch,
+            )
+            for key, image in reconstructions.items():
+                image.save(
+                    os.path.join(self.training_dir, f"recon_from_{key}.png")
+                )
+
+        self.callback_handler.on_epoch_end(self.training_config)
+
+        if (self.training_config.steps_saving is not None
+                and epoch % self.training_config.steps_saving == 0):
+            # ALL processes enter: the orbax sharded-state save is a
+            # collective (each process writes its addressable shards
+            # and joins a barrier); host-side artifacts inside are
+            # main-process-gated.
+            self.save_checkpoint(dir_path=self.training_dir, epoch=epoch)
+            if self.is_main_process:
+                logger.info("Saved checkpoint at epoch %s\n", epoch)
+                if file_logger:
+                    file_logger.info(f"Saved checkpoint at epoch {epoch}\n")
+
+        self.callback_handler.on_log(
+            self.training_config, metrics, logger=logger, global_step=epoch,
+        )
 
     # ----------------------------------------------------------------- main
     def train(self, log_output_dir: Optional[str] = None):
@@ -704,6 +944,15 @@ class BaseTrainer:
                 file_logger.info(msg)
             logger.info("Successfully launched training !\n")
 
+        # Lag-E deferred epoch finalization: every device round trip
+        # through the tunnel costs ~30-45 ms of serialized queue time
+        # (plan upload, scalar fetch) regardless of payload size, so the
+        # loop defers up to ``pipeline_depth`` epochs' host finalization
+        # and pays ONE batched scalar fetch (and one block plan upload)
+        # per run of E epochs — amortizing the fixed latency to ~E-th.
+        pipelined = self._pipeline_epochs_eligible()
+        depth = max(1, self.training_config.pipeline_depth)
+        pending = []
         for epoch in range(self.trained_epochs + 1,
                            self.training_config.num_epochs + 1):
             self.callback_handler.on_epoch_begin(
@@ -714,68 +963,23 @@ class BaseTrainer:
                 epoch, self.best_train_loss, self.best_eval_loss
             )
 
-            epoch_train_loss, epoch_metrics = self.train_step(epoch)
-            metrics = {"train_" + k: v for k, v in epoch_metrics.items()}
-            metrics["train_epoch_loss"] = epoch_train_loss
+            train_sums = self._train_epoch_device(epoch)
+            eval_sums = (self._eval_epoch_device(epoch)
+                         if self.eval_dataset is not None else None)
+            # Post-epoch parameter snapshot (a fresh copy made by the
+            # epoch tail) — finalization may run epochs later, after
+            # the TrainState has moved on.
+            candidate = self.model.params
 
-            if self.eval_dataset is not None:
-                epoch_eval_loss, epoch_eval_metrics = self.eval_step(epoch)
-                metrics["eval_epoch_loss"] = epoch_eval_loss
-                update_dict(
-                    metrics,
-                    {"eval_" + k: v for k, v in epoch_eval_metrics.items()},
-                )
-                self._schedulers_step(epoch_eval_loss)
-            else:
-                epoch_eval_loss = self.best_eval_loss
-                self._schedulers_step(epoch_train_loss)
+            pending.append((epoch, train_sums, eval_sums, candidate))
+            if (not pipelined or epoch == self.training_config.num_epochs
+                    or self._epoch_needs_sync_finalize(epoch)
+                    or len(pending) >= depth):
+                self._finalize_epochs(pending, file_logger=file_logger)
+                pending = []
 
-            if epoch <= self.start_keep_best_epoch:
-                self._best_params = self._tree_copy(self.state.params)
-                logger.info("New model saved!")
-            elif (epoch_eval_loss < self.best_eval_loss
-                  and not self.training_config.keep_best_on_train):
-                self.best_eval_loss = epoch_eval_loss
-                self._best_params = self._tree_copy(self.state.params)
-                logger.info("New best model on eval saved!")
-            elif (epoch_train_loss < self.best_train_loss
-                  and self.training_config.keep_best_on_train):
-                self.best_train_loss = epoch_train_loss
-                self._best_params = self._tree_copy(self.state.params)
-                logger.info("New best model on train saved!")
-
-            if (self.training_config.steps_predict is not None
-                    and (epoch % self.training_config.steps_predict == 0
-                         or epoch == 1)
-                    and self.is_main_process):
-                reconstructions = self.predict(epoch)
-                self.callback_handler.on_prediction_step(
-                    self.training_config, reconstructions=reconstructions,
-                    global_step=epoch,
-                )
-                for key, image in reconstructions.items():
-                    image.save(
-                        os.path.join(self.training_dir, f"recon_from_{key}.png")
-                    )
-
-            self.callback_handler.on_epoch_end(self.training_config)
-
-            if (self.training_config.steps_saving is not None
-                    and epoch % self.training_config.steps_saving == 0):
-                # ALL processes enter: the orbax sharded-state save is a
-                # collective (each process writes its addressable shards
-                # and joins a barrier); host-side artifacts inside are
-                # main-process-gated.
-                self.save_checkpoint(dir_path=self.training_dir, epoch=epoch)
-                if self.is_main_process:
-                    logger.info("Saved checkpoint at epoch %s\n", epoch)
-                    if file_logger:
-                        file_logger.info(
-                            f"Saved checkpoint at epoch {epoch}\n")
-
-            self.callback_handler.on_log(
-                self.training_config, metrics, logger=logger, global_step=epoch,
-            )
+        if pending:
+            self._finalize_epochs(pending, file_logger=file_logger)
 
         final_dir = os.path.join(self.training_dir, "final_model")
         if self.is_main_process:

@@ -78,6 +78,26 @@ class BaseTrainerConfig(BaseConfig):
             Removes per-step host dispatch latency; per-step callbacks
             still advance once per step, after each chunk. 1 = one
             dispatch per step (default).
+        pipeline_epochs: defer each epoch's host-side finalization (the
+            blocking device->host metric fetch, NaN guard, best-model
+            tracking, logging) by up to ``pipeline_depth`` epochs so the
+            per-epoch transfers amortize: the accumulated epochs'
+            scalars come back in ONE device round trip, and shuffled
+            index plans upload ``pipeline_depth`` epochs per transfer.
+            Results are bit-identical to the synchronous loop — only
+            the log/callback timing shifts (logs arrive in order, in
+            bursts); checkpoint/prediction epochs and the last epoch
+            always flush synchronously. Automatically disabled when an
+            LR scheduler is set or a subclass overrides the epoch hooks
+            (both need epoch N's losses before epoch N+1 runs).
+            TPU-native extension, on by default.
+        pipeline_depth: max epochs finalization may lag behind the
+            device (and the epoch-plan upload block size). Each
+            deferred epoch retains its post-epoch parameter snapshot on
+            device until its flush, so HBM cost grows by
+            ``pipeline_depth x |params|``; lower it for very large
+            models. Ignored when ``pipeline_epochs=False`` (plan
+            uploads still batch by this size — semantics-free).
     """
 
     output_dir: Optional[str] = None
@@ -105,6 +125,8 @@ class BaseTrainerConfig(BaseConfig):
     cache_on_device: bool = False
     device_cache_budget_gb: float = 8.0
     steps_per_execution: int = 1
+    pipeline_epochs: bool = True
+    pipeline_depth: int = 8
 
     def __post_init__(self):
         if hasattr(super(), "__post_init__"):
@@ -126,6 +148,11 @@ class BaseTrainerConfig(BaseConfig):
             raise AttributeError(
                 "steps_per_execution must be a positive integer, got "
                 f"{self.steps_per_execution}."
+            )
+        if self.pipeline_depth < 1:
+            raise AttributeError(
+                "pipeline_depth must be a positive integer, got "
+                f"{self.pipeline_depth}."
             )
         if self.steps_per_execution > 1 and not self.cache_on_device:
             raise AttributeError(

@@ -507,3 +507,98 @@ def test_n_model_devices_validation():
         BaseTrainerConfig(n_model_devices=0)
     with pytest.raises(AttributeError):
         BaseTrainerConfig(n_model_devices=-2)
+
+
+# ----------------------------------------------- pipelined epoch finalization
+def _train_collect(dataset, tmp_path, tag, **cfg_kw):
+    from multivae_tpu.trainers.base.callbacks import TrainingCallback
+
+    class Collector(TrainingCallback):
+        def __init__(self):
+            self.logs = []
+
+        def on_log(self, training_config, logs, **kwargs):
+            self.logs.append((kwargs.get("global_step"), dict(logs)))
+
+    model = MVTCAE(MVTCAEConfig(
+        n_modalities=2, latent_dim=4,
+        input_dims={"mod1": (2,), "mod2": (3,)},
+    ), seed=0)
+    collector = Collector()
+    cfg = small_config(tmp_path / tag, num_epochs=4, learning_rate=1e-2,
+                       **cfg_kw)
+    trainer = BaseTrainer(model, dataset, eval_dataset=dataset,
+                          training_config=cfg, callbacks=[collector])
+    trainer.train()
+    return trainer, collector
+
+
+@pytest.mark.parametrize("cache", [False, True])
+def test_pipelined_epochs_match_synchronous(dataset, tmp_path, cache):
+    """pipeline_epochs=True must be bit-identical to the synchronous
+    loop: same logged per-epoch metrics, same best params, same final
+    TrainState params."""
+    t_sync, c_sync = _train_collect(dataset, tmp_path, f"sync{cache}",
+                                    pipeline_epochs=False,
+                                    cache_on_device=cache)
+    t_pipe, c_pipe = _train_collect(dataset, tmp_path, f"pipe{cache}",
+                                    pipeline_epochs=True,
+                                    cache_on_device=cache)
+    assert t_pipe._pipeline_epochs_eligible()
+    assert not t_sync._pipeline_epochs_eligible()
+
+    # Logged metrics: identical values for every epoch (order may shift
+    # relative to other callbacks, never across on_log calls).
+    assert [s for s, _ in c_sync.logs] == [s for s, _ in c_pipe.logs]
+    for (_, a), (_, b) in zip(c_sync.logs, c_pipe.logs):
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == b[k], k
+
+    for (pa, pb) in [(t_sync.best_params, t_pipe.best_params),
+                     (t_sync.state.params, t_pipe.state.params)]:
+        ja, jb = jax.tree.leaves(pa), jax.tree.leaves(pb)
+        assert all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(ja, jb))
+    assert t_sync.best_eval_loss == t_pipe.best_eval_loss
+    assert t_sync.best_train_loss == t_pipe.best_train_loss
+
+
+@pytest.mark.parametrize("depth", [1, 2, 8])
+def test_pipeline_depths_match_synchronous(dataset, tmp_path, depth):
+    """Every pipeline_depth (lag-1 through lag-8 over a 4-epoch run, so
+    partial and full pending buffers both occur) must reproduce the
+    synchronous loop's logged metrics and best-model tracking."""
+    t_sync, c_sync = _train_collect(dataset, tmp_path, f"dsync{depth}",
+                                    pipeline_epochs=False)
+    t_pipe, c_pipe = _train_collect(dataset, tmp_path, f"dpipe{depth}",
+                                    pipeline_epochs=True,
+                                    pipeline_depth=depth)
+    assert [s for s, _ in c_sync.logs] == [s for s, _ in c_pipe.logs]
+    for (_, a), (_, b) in zip(c_sync.logs, c_pipe.logs):
+        for k in a:
+            assert a[k] == b[k], k
+    assert t_sync.best_eval_loss == t_pipe.best_eval_loss
+    ja = jax.tree.leaves(t_sync.best_params)
+    jb = jax.tree.leaves(t_pipe.best_params)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(ja, jb))
+
+
+def test_pipeline_auto_disabled_with_scheduler(model, dataset, tmp_path):
+    trainer = BaseTrainer(
+        model, dataset,
+        training_config=small_config(
+            tmp_path, scheduler_cls="StepLR",
+            scheduler_params={"step_size": 1, "gamma": 0.5}),
+    )
+    assert not trainer._pipeline_epochs_eligible()
+
+
+def test_pipeline_checkpoint_epochs_flush_synchronously(dataset, tmp_path):
+    """steps_saving epochs must checkpoint the CURRENT epoch's state even
+    under pipelining; resume from the checkpoint must match."""
+    t, _ = _train_collect(dataset, tmp_path, "ckpt", steps_saving=2,
+                          pipeline_epochs=True)
+    ckpt = os.path.join(t.training_dir, "checkpoint_epoch_4")
+    assert os.path.exists(ckpt)
