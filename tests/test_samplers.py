@@ -138,6 +138,94 @@ def test_automodel_all_families(tmp_path):
         assert type(loaded) is cls
 
 
+# ------------------------------------------------- device GMM fit (ops/gmm)
+def _blob_data(n_per=200, k=3, d=5, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d)) * 6.0
+    scales = 0.5 + rng.uniform(size=(k, d))
+    return np.concatenate([
+        centers[i] + scales[i] * rng.normal(size=(n_per, d))
+        for i in range(k)
+    ]).astype(np.float32)
+
+
+def test_fit_gmm_matches_sklearn_quality():
+    """The device EM must reach the sklearn fit's mean log-likelihood on
+    separable synthetic blobs (same algorithm, different RNG — quality
+    parity, not bit parity)."""
+    from sklearn import mixture
+
+    from multivae_tpu.ops import gmm as gmm_ops
+
+    X = _blob_data()
+    params = gmm_ops.fit_gmm(X, 3, jax.random.key(0))
+    assert int(params.n_iter) < 2000
+    jax_lb = float(params.lower_bound)
+
+    sk = mixture.GaussianMixture(n_components=3, covariance_type="full",
+                                 max_iter=2000, tol=1e-3)
+    sk.fit(X)
+    sk_lb = float(sk.score(X))
+    # Mean per-sample log-likelihood within 1% of sklearn's (both should
+    # find the 3 blobs; EM local optima on this data coincide).
+    assert jax_lb >= sk_lb - abs(sk_lb) * 0.01
+
+    # score_samples agrees with the fitted params' own lower bound.
+    scores = np.asarray(gmm_ops.score_samples(params, X))
+    np.testing.assert_allclose(scores.mean(), jax_lb, rtol=1e-5)
+
+    # Mixture weights recover the balanced blob structure.
+    np.testing.assert_allclose(np.sort(np.asarray(params.weights)),
+                               np.full(3, 1 / 3), atol=0.02)
+
+
+def test_sample_gmm_moments():
+    """Device sampling reproduces the fitted mixture's mean/covariance."""
+    from multivae_tpu.ops import gmm as gmm_ops
+
+    X = _blob_data(n_per=300, k=2, d=3, seed=1)
+    params = gmm_ops.fit_gmm(X, 2, jax.random.key(0))
+    draws = np.asarray(gmm_ops.sample_gmm(params, jax.random.key(1), 20000))
+    assert draws.shape == (20000, 3)
+    w = np.asarray(params.weights)
+    mixture_mean = w @ np.asarray(params.means)
+    np.testing.assert_allclose(draws.mean(axis=0), mixture_mean, atol=0.15)
+    # Mixture covariance: E[Sigma] + Cov of the means.
+    mus = np.asarray(params.means)
+    covs = np.asarray(params.covariances)
+    mix_cov = (w[:, None, None] * covs).sum(0)
+    centered = mus - mixture_mean
+    mix_cov += np.einsum("k,kd,ke->de", w, centered, centered)
+    np.testing.assert_allclose(np.cov(draws.T), mix_cov, atol=0.4)
+
+
+def test_gmm_sampler_backends_agree(model):
+    """jax and sklearn fit backends produce samplers whose draws land in
+    the same latent region (matching first moments)."""
+    ds = make_dataset("complete", n=60)
+    draws = {}
+    for backend in ("jax", "sklearn"):
+        sampler = GaussianMixtureSampler(
+            model, GaussianMixtureSamplerConfig(
+                n_components=2, fit_backend=backend))
+        sampler.fit(ds)
+        draws[backend] = np.asarray(sampler.sample(4000).z)
+    np.testing.assert_allclose(draws["jax"].mean(axis=0),
+                               draws["sklearn"].mean(axis=0), atol=0.3)
+    np.testing.assert_allclose(draws["jax"].std(axis=0),
+                               draws["sklearn"].std(axis=0), atol=0.3)
+
+
+def test_gmm_sampler_repeated_draws_differ(model):
+    ds = make_dataset("complete", n=20)
+    sampler = GaussianMixtureSampler(
+        model, GaussianMixtureSamplerConfig(n_components=2))
+    sampler.fit(ds)
+    a = np.asarray(sampler.sample(5).z)
+    b = np.asarray(sampler.sample(5).z)
+    assert not np.allclose(a, b)
+
+
 def test_automodel_corrupted_config_raises(tmp_path):
     import json
     import os
