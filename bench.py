@@ -427,16 +427,19 @@ def bench_mvtcae_conv(n_steps=10, mixed=False):
     return (time.perf_counter() - t0) / (n_steps * 10), flops
 
 
-def bench_trainer_e2e(n_epochs=3):
+def bench_trainer_e2e(n_epochs=16):
     """END-TO-END ``trainer.train()`` epochs at the headline scale: the
     loop a USER runs — callbacks, metric accumulation, NaN guards,
     best-model tracking, logging — with the device-resident dataset
     cache (``cache_on_device=True``, ``steps_per_execution=200``) and
-    lag-1 pipelined epoch finalization (``pipeline_epochs=True``, the
-    default). Times epochs 2..N via callbacks so epoch 1 absorbs
-    compile and the final model save is excluded. Reference
-    counterpart: the torch epoch loop streaming every batch
-    host->device (``base_trainer.py:664-687``)."""
+    lag-8 pipelined epoch finalization (``pipeline_epochs=True``, the
+    default). Under pipelining, epoch boundaries are ASYNC (dispatch
+    runs ahead of the device), so the timing window must be
+    flush-aligned: it spans whole depth-8 flush cycles, from the end
+    of the first flush (epochs 1-8, which absorb compile) to the last
+    ``on_log`` — dispatch, device compute, and host finalization of
+    epochs 9..N exactly. Reference counterpart: the torch epoch loop
+    streaming every batch host->device (``base_trainer.py:664-687``)."""
     from multivae_tpu.data import MultimodalBaseDataset
     from multivae_tpu.models import MVTCAE, MVTCAEConfig
     from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
@@ -455,24 +458,23 @@ def bench_trainer_e2e(n_epochs=3):
         n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
         decoders_dist={m: "bernoulli" for m in DIMS},
     ), seed=0)
+    if SMOKE:
+        n_epochs = 2
+    depth = 8
     cfg = BaseTrainerConfig(
-        output_dir="/tmp/bench_e2e", num_epochs=1 + n_epochs,
+        output_dir="/tmp/bench_e2e", num_epochs=depth + n_epochs,
         per_device_train_batch_size=BATCH,
         per_device_eval_batch_size=BATCH, learning_rate=1e-3, seed=0,
-        n_devices=1, cache_on_device=True,
+        n_devices=1, cache_on_device=True, pipeline_depth=depth,
         steps_per_execution=2 if SMOKE else 200,
     )
 
     class _Timer(TrainingCallback):
-        t_start = None
-        t_last_log = None
-
-        def on_epoch_begin(self, training_config, **kwargs):
-            if kwargs.get("epoch") == 2:
-                self.t_start = time.perf_counter()
+        def __init__(self):
+            self.log_times = []
 
         def on_log(self, training_config, logs, **kwargs):
-            self.t_last_log = time.perf_counter()
+            self.log_times.append(time.perf_counter())
 
     timer = _Timer()
     trainer = BaseTrainer(model, ds, training_config=cfg,
@@ -481,7 +483,9 @@ def bench_trainer_e2e(n_epochs=3):
     assert trainer._pipeline_epochs_eligible(), "pipelining unexpectedly off"
     trainer.train()
     steps_per_epoch = len(trainer.train_loader)
-    dt = timer.t_last_log - timer.t_start
+    # on_log fires once per epoch, in flush bursts; log[depth-1] marks
+    # the end of the warm-up flush, log[-1] the end of the last flush.
+    dt = timer.log_times[-1] - timer.log_times[depth - 1]
     return n_epochs * steps_per_epoch / dt
 
 
