@@ -986,6 +986,9 @@ class BaseTrainer:
             self.save_model(dir_path=final_dir)
             logger.info("Training ended!")
             logger.info("Saved final model in %s", final_dir)
+        # Any in-flight async checkpoint save must be on disk before
+        # train() returns to the user.
+        self.wait_for_checkpoint()
         self.callback_handler.on_train_end(self.training_config)
 
     @property
@@ -1036,18 +1039,45 @@ class BaseTrainer:
             "step": state.step,
         }
 
+    _orbax_ckptr = None
+
+    def _orbax_checkpointer(self):
+        """Persistent checkpointer: orbax's ``StandardCheckpointer`` IS an
+        ``AsyncCheckpointer`` — ``save()`` returns once the device->host
+        copy is done and commits serialization + disk writes on a
+        background thread; keeping ONE instance alive lets consecutive
+        epochs' saves overlap training."""
+        if BaseTrainer._orbax_ckptr is None:
+            import orbax.checkpoint as ocp
+
+            BaseTrainer._orbax_ckptr = ocp.StandardCheckpointer()
+        return BaseTrainer._orbax_ckptr
+
+    def wait_for_checkpoint(self):
+        """Block until any in-flight async checkpoint save is committed
+        to disk. Called automatically before the next save, before an
+        orbax restore, and at the end of ``train()``."""
+        if BaseTrainer._orbax_ckptr is not None:
+            BaseTrainer._orbax_ckptr.wait_until_finished()
+
     def _orbax_save_state(self, checkpoint_dir: str):
         """Sharded TrainState save: every host writes its own shards (no
         host gather — the multi-host/fsdp-scale path the reference's
-        torch.save checkpointing has no equivalent for)."""
-        import orbax.checkpoint as ocp
+        torch.save checkpointing has no equivalent for).
 
-        ckptr = ocp.StandardCheckpointer()
+        With ``async_checkpointing=True`` (default) only the
+        device->host copy blocks the loop — safe against the train
+        step's buffer donation, since the next step's writes land after
+        the copy — and the disk commit proceeds in the background,
+        barriered at the next save / restore / end of ``train()``."""
+        ckptr = self._orbax_checkpointer()
+        ckptr.wait_until_finished()  # previous epoch's in-flight save
         ckptr.save(
             os.path.abspath(os.path.join(checkpoint_dir, "train_state")),
             self._state_to_savable(self.state),
         )
-        ckptr.wait_until_finished()
+        if not getattr(self.training_config, "async_checkpointing", True):
+            ckptr.wait_until_finished()
 
     def _orbax_restore_state(self, checkpoint_dir: str):
         """Restore the TrainState directly into the trainer's target
@@ -1068,6 +1098,9 @@ class BaseTrainer:
 
         path = os.path.abspath(os.path.join(checkpoint_dir, "train_state"))
         savable = self._state_to_savable(self.state)
+        # An in-flight async save of THIS trainer (restart-in-process
+        # tests do save -> new trainer -> restore) must commit first.
+        self.wait_for_checkpoint()
         single = self.mesh.size == 1 and jax.process_count() == 1
         if single:
             # explicit local-device sharding: without it orbax populates
@@ -1096,7 +1129,7 @@ class BaseTrainer:
                                                    sharding=sh),
                 savable, sharding_tree,
             )
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = self._orbax_checkpointer()
         restored = ckptr.restore(path, abstract)
         if single:
             # uncommitted re-transfer, exactly as host_init does

@@ -62,6 +62,13 @@ class BaseTrainerConfig(BaseConfig):
             files) or "orbax" (sharded TrainState checkpointing: each
             host/device writes its own shards — no host gather, works with
             fsdp and multi-host; TPU-native extension).
+        async_checkpointing: with the orbax backend, ``save()`` returns
+            once the device->host copy completes (safe against the
+            donated train step) and the serialization/disk commit runs
+            on a background thread, overlapping the next epochs'
+            compute; barriers run before the next save, any restore,
+            and the end of ``train()``. Default True; set False to
+            force every save to block until durable.
         cache_on_device: upload the dataset to HBM once and gather each
             batch ON DEVICE inside the jitted step — epochs run with no
             per-step host->device data transfers, with batches
@@ -122,6 +129,7 @@ class BaseTrainerConfig(BaseConfig):
     num_processes: Union[int, None] = None
     process_id: Union[int, None] = None
     checkpoint_backend: str = "msgpack"
+    async_checkpointing: bool = True
     cache_on_device: bool = False
     device_cache_budget_gb: float = 8.0
     steps_per_execution: int = 1

@@ -330,6 +330,39 @@ def test_orbax_restore_single_device_uncommitted(model, dataset, tmp_path):
         assert not getattr(leaf, "committed", False), (
             "orbax restore produced a COMMITTED array on a single-device "
             "mesh")
+
+
+@pytest.mark.parametrize("async_ckpt", [True, False])
+def test_orbax_async_checkpointing_durable_and_correct(model, dataset,
+                                                       tmp_path, async_ckpt):
+    """Async orbax saves must be DURABLE by the time train() returns
+    (the end-of-train barrier) and restore to the exact saved state;
+    async_checkpointing=False forces the blocking path."""
+    cfg = small_config(tmp_path, num_epochs=3, steps_saving=1,
+                       checkpoint_backend="orbax",
+                       async_checkpointing=async_ckpt)
+    trainer = BaseTrainer(model, dataset, training_config=cfg)
+    trainer.train()
+    for e in (1, 2, 3):
+        d = os.path.join(trainer.training_dir,
+                         f"checkpoint_epoch_{e}", "train_state")
+        assert os.path.isdir(d), d
+        # orbax commits atomically: a durable checkpoint has no
+        # leftover temporary directory marker
+        assert not any(".orbax-checkpoint-tmp" in n
+                       for n in os.listdir(os.path.dirname(d)))
+
+    ckpt = os.path.join(trainer.training_dir, "checkpoint_epoch_3")
+    model2 = MVTCAE(model.model_config, seed=0)
+    trainer2 = BaseTrainer(
+        model2, dataset,
+        training_config=small_config(tmp_path / "r", num_epochs=4,
+                                     checkpoint_backend="orbax",
+                                     async_checkpointing=async_ckpt),
+        checkpoint=ckpt)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(trainer2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     loss, _ = trainer2.train_step(2)
     assert np.isfinite(loss)
 
