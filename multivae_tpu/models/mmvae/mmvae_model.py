@@ -44,6 +44,9 @@ class MMVAE(BaseMultiVAE):
     """Variational Mixture-of-Experts Autoencoder."""
 
     model_name = "MMVAE"
+    # Batch-sum objective (loss == loss_sum): chunked gradient
+    # accumulation is exact -> eligible for trainer microbatch_steps.
+    loss_is_sum = True
 
     def __init__(self, model_config: MMVAEConfig, encoders: dict = None,
                  decoders: dict = None, seed: int = 0):

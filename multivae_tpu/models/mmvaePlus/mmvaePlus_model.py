@@ -40,6 +40,9 @@ class MMVAEPlus(BaseMultiVAE):
     """The MMVAE+ model."""
 
     model_name = "MMVAEPlus"
+    # Batch-sum objective (loss == loss_sum): chunked gradient
+    # accumulation is exact -> eligible for trainer microbatch_steps.
+    loss_is_sum = True
 
     def __init__(self, model_config: MMVAEPlusConfig, encoders: dict = None,
                  decoders: dict = None, seed: int = 0):

@@ -21,7 +21,13 @@ import jax.numpy as jnp
 from ..utils.model_output import ModelOutput
 from .base_architectures import BaseDecoder, BaseEncoder
 from .default_architectures import BaseAEConfig, Decoder_AE_MLP
-from .mmnist import _avg_pool_3_2_1, _nchw_to_nhwc, _nhwc_to_nchw, conv
+from .mmnist import (
+    _avg_pool_3_2_1,
+    _nchw_to_nhwc,
+    _nhwc_to_nchw,
+    _upsample_nearest_2x,
+    conv,
+)
 
 
 def positional_encoding(max_len: int, d_model: int) -> np.ndarray:
@@ -191,8 +197,7 @@ class CUB_Resnet_Decoder(BaseDecoder):
             c0 = min(nf * 2 ** (nlayers - i), nf_max)
             c1 = min(nf * 2 ** (nlayers - i - 1), nf_max)
             h = PreActResnetBlock(c0, c1)(h)
-            B, H, W, C = h.shape
-            h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+            h = _upsample_nearest_2x(h)
         h = PreActResnetBlock(nf, nf)(h)
         h = conv(3, 3, 1, 1, nf)(nn.leaky_relu(h, negative_slope=0.2))
         h = _nhwc_to_nchw(h)

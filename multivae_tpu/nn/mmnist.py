@@ -188,6 +188,20 @@ class ResnetBlock(nn.Module):
         return x_s + 0.1 * dx
 
 
+def _upsample_nearest_2x(x):
+    """2x nearest-neighbor upsample as reshape+broadcast.
+
+    Bit-identical to ``jax.image.resize(..., method="nearest")`` for an
+    exact doubling (both select source row ``i // 2``), but lowers to a
+    broadcast instead of a gather — on the flagship MMVAE+ decoder this
+    op touches a (M*K*B, 28, 28, 64) ~1.3 GB bf16 activation, where a
+    gather pays irregular-access HBM bandwidth three times per step
+    (forward, backward, remat recompute)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
 def _avg_pool_3_2_1(x):
     """torch AvgPool2d(3, stride=2, padding=1) (count_include_pad=True)."""
     import jax
@@ -254,8 +268,6 @@ class DecoderResnetMMNIST(BaseDecoder):
 
     @nn.compact
     def __call__(self, z):
-        import jax
-
         size = 28
         nlayers = int(np.log2(size / self.s0))
         nf0 = min(self.nf_max, self.nf * 2**nlayers)
@@ -269,8 +281,7 @@ class DecoderResnetMMNIST(BaseDecoder):
             c_in = min(self.nf * 2 ** (nlayers - i), self.nf_max)
             c_out = min(self.nf * 2 ** (nlayers - i - 1), self.nf_max)
             h = ResnetBlock(c_in, c_out)(h)
-            B, H, W, C = h.shape
-            h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+            h = _upsample_nearest_2x(h)
         h = ResnetBlock(self.nf, self.nf)(h)
         h = nn.leaky_relu(conv(3, 3, 1, 1, self.nf)(h), negative_slope=0.2)
         h = _nhwc_to_nchw(h)

@@ -138,7 +138,6 @@ def _kmeans(X, k, rng, n_iters=50):
     return assign(centers)
 
 
-@partial(jax.jit, static_argnames=("n_components", "max_iter"))
 def fit_gmm(X, n_components: int, rng, max_iter: int = 2000,
             tol: float = 1e-3, reg_covar: float = 1e-6) -> GMMParams:
     """Fit a full-covariance GMM to ``X (N, D)`` — one compiled program.
@@ -148,6 +147,11 @@ def fit_gmm(X, n_components: int, rng, max_iter: int = 2000,
     without bit-matching its RNG; quality parity is pinned by
     ``tests/test_samplers.py`` against the sklearn fit.
     """
+    return _fit_gmm_jit(X, n_components, rng, max_iter, tol, reg_covar)
+
+
+@partial(jax.jit, static_argnames=("n_components", "max_iter"))
+def _fit_gmm_jit(X, n_components, rng, max_iter, tol, reg_covar):
     X = jnp.asarray(X, jnp.float32)
     k = n_components
     labels = _kmeans(X, k, rng)
@@ -182,9 +186,13 @@ def fit_gmm(X, n_components: int, rng, max_iter: int = 2000,
                      n_iter=it)
 
 
-@partial(jax.jit, static_argnames=("n_samples",))
 def sample_gmm(params: GMMParams, rng, n_samples: int):
     """Draw ``(n_samples, D)`` from the fitted mixture on device."""
+    return _sample_gmm_jit(params, rng, n_samples)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def _sample_gmm_jit(params, rng, n_samples):
     rng_c, rng_e = jax.random.split(rng)
     comps = jax.random.categorical(
         rng_c, jnp.log(params.weights), shape=(n_samples,))

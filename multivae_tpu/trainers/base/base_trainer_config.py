@@ -62,6 +62,18 @@ class BaseTrainerConfig(BaseConfig):
             files) or "orbax" (sharded TrainState checkpointing: each
             host/device writes its own shards — no host gather, works with
             fsdp and multi-host; TPU-native extension).
+        microbatch_steps: accumulate each step's gradient over N batch
+            chunks in one compiled scan instead of holding the whole
+            batch's activations (ops/microbatch). Peak activation
+            memory drops ~N-fold with NO rematerialization, so the
+            memory-bound K-sample configs (MMVAE / MMVAE+ / CMVAE —
+            sum-reduction objectives, for which chunked gradients are
+            mathematically exact) can drop ``use_remat`` and its 1.33x
+            FLOP overhead: the flagship MMVAE+ resnet protocol runs
+            1.77x faster with ``microbatch_steps=2`` +
+            ``use_remat=False`` than with remat. Requires the model to
+            declare ``loss_is_sum = True``; per-chunk RNG is
+            ``fold_in``(step rng, chunk). Default 1 (off).
         async_checkpointing: with the orbax backend, ``save()`` returns
             once the device->host copy completes (safe against the
             donated train step) and the serialization/disk commit runs
@@ -130,6 +142,7 @@ class BaseTrainerConfig(BaseConfig):
     process_id: Union[int, None] = None
     checkpoint_backend: str = "msgpack"
     async_checkpointing: bool = True
+    microbatch_steps: int = 1
     cache_on_device: bool = False
     device_cache_budget_gb: float = 8.0
     steps_per_execution: int = 1
@@ -156,6 +169,11 @@ class BaseTrainerConfig(BaseConfig):
             raise AttributeError(
                 "steps_per_execution must be a positive integer, got "
                 f"{self.steps_per_execution}."
+            )
+        if self.microbatch_steps < 1:
+            raise AttributeError(
+                "microbatch_steps must be a positive integer, got "
+                f"{self.microbatch_steps}."
             )
         if self.pipeline_depth < 1:
             raise AttributeError(
