@@ -34,7 +34,6 @@ class PrefetchLoader:
         self.loader = loader
         self.mesh = mesh
         self.depth = depth
-        self._prev_thread: threading.Thread | None = None
 
     def set_epoch(self, epoch: int):
         self.loader.set_epoch(epoch)
@@ -46,10 +45,14 @@ class PrefetchLoader:
         # A previous producer can outlive its 5 s grace join (blocked
         # inside self.loader's own iteration rather than in put()); wait
         # for it here so two producers never iterate the underlying
-        # loader concurrently.
-        if self._prev_thread is not None and self._prev_thread.is_alive():
-            self._prev_thread.join()
-        self._prev_thread = None
+        # loader concurrently. The orphan is stashed on the UNDERLYING
+        # loader (the trainer builds a fresh PrefetchLoader every
+        # epoch, so an instance attribute would never be consulted
+        # again).
+        prev = getattr(self.loader, "_prefetch_producer_thread", None)
+        if prev is not None and prev.is_alive():
+            prev.join()
+        self.loader._prefetch_producer_thread = None
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         sentinel = object()
         stop = threading.Event()
@@ -95,6 +98,6 @@ class PrefetchLoader:
                 pass
             thread.join(timeout=_JOIN_TIMEOUT)
             if thread.is_alive():
-                self._prev_thread = thread
+                self.loader._prefetch_producer_thread = thread
         if error:
             raise error[0]

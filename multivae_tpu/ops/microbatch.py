@@ -45,19 +45,27 @@ def split_batch(batch, n_micro: int):
     return jax.tree.map(_split, batch)
 
 
-def microbatched_value_and_grad(loss_sum_fn: Callable, n_micro: int):
+def microbatched_value_and_grad(loss_sum_fn: Callable, n_micro: int,
+                                has_aux: bool = False):
     """``value_and_grad`` of a SUM-reduction loss, accumulated over
     ``n_micro`` batch chunks in one compiled scan.
 
     Args:
         loss_sum_fn: ``(params, batch, rng) -> scalar`` summing
-            per-sample losses over the batch axis.
+            per-sample losses over the batch axis; with
+            ``has_aux=True``, ``-> (scalar, aux_tree)``.
         n_micro: number of microbatches (must divide the batch size).
+        has_aux: when True, the auxiliary tree's float leaves are
+            accumulated as the MEAN over the (equal-size) chunks, so
+            mean-semantic per-batch metrics stay comparable to a
+            full-batch call; the return becomes
+            ``((loss, aux), grads)`` like ``jax.value_and_grad``'s.
 
     Returns:
-        ``fn(params, batch, rng) -> (loss, grads)`` with ``loss`` and
-        ``grads`` mathematically equal to the full-batch call (up to
-        fp accumulation order); each chunk consumes
+        ``fn(params, batch, rng) -> (loss, grads)`` (or
+        ``((loss, aux), grads)``) with ``loss`` and ``grads``
+        mathematically equal to the full-batch call (up to fp
+        accumulation order); each chunk consumes
         ``jax.random.fold_in(rng, chunk_index)`` so sampling-based
         objectives draw independent noise per chunk, exactly as a
         full-batch call draws independent noise per sample. Gradients
@@ -68,23 +76,37 @@ def microbatched_value_and_grad(loss_sum_fn: Callable, n_micro: int):
 
     def fn(params, batch, rng):
         if n_micro == 1:
-            return jax.value_and_grad(loss_sum_fn)(params, batch, rng)
+            return jax.value_and_grad(loss_sum_fn, has_aux=has_aux)(
+                params, batch, rng)
         chunks = split_batch(batch, n_micro)
-        vg = jax.value_and_grad(loss_sum_fn)
+        vg = jax.value_and_grad(loss_sum_fn, has_aux=has_aux)
 
         def body(carry, idx_chunk):
             idx, chunk = idx_chunk
-            loss_acc, grad_acc = carry
-            loss, grads = vg(params, chunk, jax.random.fold_in(rng, idx))
+            loss_acc, aux_acc, grad_acc = carry
+            val, grads = vg(params, chunk, jax.random.fold_in(rng, idx))
+            loss, aux = val if has_aux else (val, None)
             grad_acc = jax.tree.map(
                 lambda a, g: a + g.astype(a.dtype), grad_acc, grads)
-            return (loss_acc + loss.astype(jnp.float32), grad_acc), None
+            if has_aux:
+                aux_acc = jax.tree.map(
+                    lambda a, v: a + jnp.asarray(v, jnp.float32) / n_micro,
+                    aux_acc, aux)
+            return (loss_acc + loss.astype(jnp.float32), aux_acc,
+                    grad_acc), None
 
         zeros = jax.tree.map(
             lambda p: jnp.zeros(p.shape, jnp.float32), params)
-        (loss, grads), _ = lax.scan(
-            body, (jnp.float32(0.0), zeros),
+        aux_zeros = None
+        if has_aux:
+            chunk0 = jax.tree.map(lambda x: x[0], chunks)
+            aux_shapes = jax.eval_shape(
+                lambda: loss_sum_fn(params, chunk0, rng)[1])
+            aux_zeros = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, jnp.float32), aux_shapes)
+        (loss, aux, grads), _ = lax.scan(
+            body, (jnp.float32(0.0), aux_zeros, zeros),
             (jnp.arange(n_micro), chunks))
-        return loss, grads
+        return ((loss, aux), grads) if has_aux else (loss, grads)
 
     return fn

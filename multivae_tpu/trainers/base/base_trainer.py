@@ -210,13 +210,18 @@ class BaseTrainer:
             budget = int(training_config.device_cache_budget_gb * 1e9)
             self._train_cache = build_device_cache(
                 train_dataset, self.mesh, budget)
-            if eval_dataset is not None and self._train_cache is not None:
-                try:
-                    used = estimate_dataset_nbytes(train_dataset)
-                except Exception:  # pragma: no cover - estimated above
-                    used = 0
+            if eval_dataset is not None:
+                # Budget the eval cache independently: a train set that
+                # fell back (over budget / unindexable) must not also
+                # cost the eval set its HBM residency.
+                used = 0
+                if self._train_cache is not None:
+                    try:
+                        used = estimate_dataset_nbytes(train_dataset)
+                    except Exception:  # pragma: no cover - estimated above
+                        used = 0
                 self._eval_cache = build_device_cache(
-                    eval_dataset, self.mesh, budget - used)
+                    eval_dataset, self.mesh, max(budget - used, 0))
 
         self._run_model_sanity_check()
 
@@ -306,40 +311,20 @@ class BaseTrainer:
                 return grads, {"loss_sum": out["loss_sum"],
                                "metrics": out.get("metrics", {})}
 
-            from ...ops.microbatch import split_batch
+            from ...ops.microbatch import microbatched_value_and_grad
 
-            chunks = split_batch(batch, n_micro)
-            vg = jax.value_and_grad(loss_fn, has_aux=True)
+            # loss_sum rides in the aux tree and is chunk-MEANED by the
+            # helper; multiplying back by n_micro recovers the sum.
+            def chunk_loss(p, b, r):
+                loss, out = loss_fn(p, b, r, info)
+                return loss, {"loss_sum": out["loss_sum"],
+                              "metrics": out.get("metrics", {})}
 
-            def body(carry, idx_chunk):
-                idx, chunk = idx_chunk
-                grad_acc, loss_sum_acc, metrics_acc = carry
-                (_, out), grads = vg(params, chunk,
-                                     jax.random.fold_in(rng, idx), info)
-                grad_acc = jax.tree.map(
-                    lambda a, g: a + g.astype(a.dtype), grad_acc, grads)
-                loss_sum_acc = loss_sum_acc + jnp.asarray(
-                    out["loss_sum"], jnp.float32)
-                # metrics average over equal-size chunks (mean-semantic
-                # metric values stay per-batch comparable; the eligible
-                # models report none)
-                metrics = out.get("metrics", {})
-                metrics_acc = jax.tree.map(
-                    lambda a, v: a + jnp.asarray(v, jnp.float32) / n_micro,
-                    metrics_acc, metrics)
-                return (grad_acc, loss_sum_acc, metrics_acc), None
-
-            zeros = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), params)
-            metric_shapes = jax.eval_shape(
-                lambda: loss_fn(params, jax.tree.map(lambda x: x[0], chunks),
-                                rng, info)[1].get("metrics", {}))
-            metric_zeros = jax.tree.map(
-                lambda s: jnp.zeros(s.shape, jnp.float32), metric_shapes)
-            (grads, loss_sum, metrics), _ = jax.lax.scan(
-                body, (zeros, jnp.float32(0.0), metric_zeros),
-                (jnp.arange(n_micro), chunks))
-            return grads, {"loss_sum": loss_sum, "metrics": metrics}
+            mvg = microbatched_value_and_grad(chunk_loss, n_micro,
+                                              has_aux=True)
+            (_, aux), grads = mvg(params, batch, rng)
+            return grads, {"loss_sum": aux["loss_sum"] * n_micro,
+                           "metrics": aux["metrics"]}
 
         def step_fn(state: TrainState, batch: MultimodalBatch, info: StepInfo):
             rng = jax.random.fold_in(state.rng, state.step)
@@ -853,18 +838,33 @@ class BaseTrainer:
 
     def _pipeline_epochs_eligible(self) -> bool:
         """Deferred epoch finalization is safe only when nothing on the host
-        needs epoch N's fetched losses before epoch N+1's device work is
-        dispatched: no LR scheduler (steps on the epoch loss) and no
+        needs epoch N's results before epoch N+1's device work is
+        dispatched: no LR scheduler (steps on the epoch loss), no
         subclass epoch hooks (the MultistageTrainer's
-        ``prepare_train_step`` resets the optimizer from loop state)."""
+        ``prepare_train_step`` resets the optimizer from loop state;
+        overridden ``train_step``/``eval_step`` must keep running
+        through the public synchronous path), and no callback with a
+        custom ``on_epoch_end`` — that hook fires at flush time, when a
+        closure reading ``trainer.state``/``model.params`` would see a
+        LATER epoch's weights (the shipped display-only progress/console
+        callbacks are exempt; ``JaxProfilerCallback`` intentionally is
+        not, so profiled runs keep exact per-epoch attribution)."""
         if not getattr(self.training_config, "pipeline_epochs", True):
             return False
         if self.scheduler is not None:
             return False
         cls = type(self)
-        return (cls.prepare_train_step is BaseTrainer.prepare_train_step
+        if not (cls.prepare_train_step is BaseTrainer.prepare_train_step
                 and cls.train_step is BaseTrainer.train_step
-                and cls.eval_step is BaseTrainer.eval_step)
+                and cls.eval_step is BaseTrainer.eval_step):
+            return False
+        deferred_safe = (ProgressBarCallback, MetricConsolePrinterCallback)
+        for cb in getattr(self.callback_handler, "callbacks", []):
+            if isinstance(cb, deferred_safe):
+                continue
+            if type(cb).on_epoch_end is not TrainingCallback.on_epoch_end:
+                return False
+        return True
 
     def _epoch_needs_sync_finalize(self, epoch: int) -> bool:
         """Checkpoint and prediction epochs consume the CURRENT
@@ -890,42 +890,46 @@ class BaseTrainer:
         fetched = self._fetch_scalar_groups(groups)
         i = 0
         for epoch, train_sums, eval_sums, candidate_params in entries:
-            t_fetched = fetched[i]
+            # Normalize with the SAME arithmetic as train_step/eval_step
+            # so pipelined and synchronous runs log bit-identical values.
+            t_loss_sum, t_metrics = fetched[i]
             i += 1
-            e_fetched = None
+            epoch_train_loss = t_loss_sum / len(self.train_dataset)
+            train_metrics = {k: v / len(self.train_loader)
+                             for k, v in t_metrics.items()}
+            epoch_eval_loss = eval_metrics = None
             if eval_sums is not None:
-                e_fetched = fetched[i]
+                e_loss_sum, e_metrics = fetched[i]
                 i += 1
-            self._finalize_epoch_host(epoch, t_fetched, e_fetched,
+                epoch_eval_loss = e_loss_sum / len(self.eval_dataset)
+                eval_metrics = {k: v / len(self.eval_loader)
+                                for k, v in e_metrics.items()}
+            self._finalize_epoch_host(epoch, epoch_train_loss, train_metrics,
+                                      epoch_eval_loss, eval_metrics,
                                       candidate_params,
                                       file_logger=file_logger)
 
-    def _finalize_epoch_host(self, epoch, t_fetched, e_fetched,
+    def _finalize_epoch_host(self, epoch, epoch_train_loss, train_metrics,
+                             epoch_eval_loss, eval_metrics,
                              candidate_params, file_logger=None):
-        """Host logic of one epoch's tail given ALREADY-FETCHED scalars:
-        NaN guards, scheduler step, best-model tracking, prediction
-        grids, checkpointing, logging. ``candidate_params`` is the
-        post-epoch parameter snapshot taken before any later epoch ran,
-        so deferred finalization tracks the right weights. Reference
+        """Host logic of one epoch's tail given NORMALIZED epoch values
+        (the shape ``train_step``/``eval_step`` return): NaN guards,
+        scheduler step, best-model tracking, prediction grids,
+        checkpointing, logging. ``candidate_params`` is the post-epoch
+        parameter snapshot taken before any later epoch ran, so
+        deferred finalization tracks the right weights. Reference
         epoch tail: ``src/multivae/trainers/base/base_trainer.py:480-577``."""
-        t_loss_sum, t_metrics = t_fetched
-        epoch_train_loss = t_loss_sum / len(self.train_dataset)
         if np.isnan(epoch_train_loss) or np.isinf(epoch_train_loss):
             raise ArithmeticError("NaN detected in train loss")
-        n_train_batches = len(self.train_loader)
-        metrics = {"train_" + k: v / n_train_batches
-                   for k, v in t_metrics.items()}
+        metrics = {"train_" + k: v for k, v in train_metrics.items()}
         metrics["train_epoch_loss"] = epoch_train_loss
 
-        if e_fetched is not None:
-            e_loss_sum, e_metrics = e_fetched
-            epoch_eval_loss = e_loss_sum / len(self.eval_dataset)
+        if epoch_eval_loss is not None:
             if np.isnan(epoch_eval_loss) or np.isinf(epoch_eval_loss):
                 raise ArithmeticError("NaN detected in eval loss")
-            n_eval_batches = len(self.eval_loader)
             metrics["eval_epoch_loss"] = epoch_eval_loss
-            update_dict(metrics, {"eval_" + k: v / n_eval_batches
-                                  for k, v in e_metrics.items()})
+            update_dict(metrics, {"eval_" + k: v
+                                  for k, v in eval_metrics.items()})
             self._schedulers_step(epoch_eval_loss)
         else:
             epoch_eval_loss = self.best_eval_loss
@@ -1023,6 +1027,20 @@ class BaseTrainer:
                 epoch, self.best_train_loss, self.best_eval_loss
             )
 
+            if not pipelined:
+                # The synchronous loop goes through the PUBLIC
+                # train_step/eval_step hooks so subclass overrides run.
+                epoch_train_loss, epoch_metrics = self.train_step(epoch)
+                epoch_eval_loss = epoch_eval_metrics = None
+                if self.eval_dataset is not None:
+                    epoch_eval_loss, epoch_eval_metrics = self.eval_step(
+                        epoch)
+                self._finalize_epoch_host(
+                    epoch, epoch_train_loss, epoch_metrics,
+                    epoch_eval_loss, epoch_eval_metrics,
+                    self.model.params, file_logger=file_logger)
+                continue
+
             train_sums = self._train_epoch_device(epoch)
             eval_sums = (self._eval_epoch_device(epoch)
                          if self.eval_dataset is not None else None)
@@ -1032,7 +1050,7 @@ class BaseTrainer:
             candidate = self.model.params
 
             pending.append((epoch, train_sums, eval_sums, candidate))
-            if (not pipelined or epoch == self.training_config.num_epochs
+            if (epoch == self.training_config.num_epochs
                     or self._epoch_needs_sync_finalize(epoch)
                     or len(pending) >= depth):
                 self._finalize_epochs(pending, file_logger=file_logger)

@@ -103,13 +103,17 @@ class BaseTrainerConfig(BaseConfig):
             per-epoch transfers amortize: the accumulated epochs'
             scalars come back in ONE device round trip, and shuffled
             index plans upload ``pipeline_depth`` epochs per transfer.
-            Results are bit-identical to the synchronous loop — only
-            the log/callback timing shifts (logs arrive in order, in
-            bursts); checkpoint/prediction epochs and the last epoch
-            always flush synchronously. Automatically disabled when an
-            LR scheduler is set or a subclass overrides the epoch hooks
-            (both need epoch N's losses before epoch N+1 runs).
-            TPU-native extension, on by default.
+            Logged values are bit-identical to the synchronous loop,
+            but arrive deferred (in order, in bursts at flush time),
+            and a NaN loss surfaces up to ``pipeline_depth`` epochs of
+            device work late. Checkpoint/prediction epochs and the
+            last epoch always flush synchronously. Automatically
+            disabled when an LR scheduler is set, when a subclass
+            overrides the epoch hooks (both need epoch N's losses
+            before epoch N+1 runs), or when any non-display callback
+            overrides ``on_epoch_end`` (a deferred hook would observe
+            a later epoch's trainer state). TPU-native extension, on
+            by default.
         pipeline_depth: max epochs finalization may lag behind the
             device (and the epoch-plan upload block size). Each
             deferred epoch retains its post-epoch parameter snapshot on

@@ -180,6 +180,28 @@ def test_cache_budget_fallback(dataset, tmp_path, caplog):
     assert np.isfinite(losses[0][0])
 
 
+def test_eval_cache_independent_of_train_fallback(dataset, tmp_path):
+    """A train set over the HBM budget must not cost the (smaller) eval
+    set its device cache: the eval cache budgets independently."""
+    rng = np.random.default_rng(2)
+    big = MultimodalBaseDataset({
+        "mod1": rng.normal(size=(N * 40, 2)).astype(np.float32),
+        "mod2": rng.normal(size=(N * 40, 3)).astype(np.float32),
+    })
+    budget_gb = (estimate_dataset_nbytes(dataset) * 4) / 1e9
+    cfg = BaseTrainerConfig(
+        output_dir=str(tmp_path), num_epochs=1,
+        per_device_train_batch_size=8, per_device_eval_batch_size=8,
+        learning_rate=1e-3, seed=0, cache_on_device=True,
+        device_cache_budget_gb=budget_gb)
+    t = BaseTrainer(MVTCAE(model_config(), seed=0), big,
+                    eval_dataset=dataset, training_config=cfg)
+    assert t._train_cache is None  # big set over budget -> host loader
+    assert t._eval_cache is not None  # small eval set still cached
+    loss, _ = t.eval_step(1)
+    assert np.isfinite(loss)
+
+
 def test_cache_unindexable_dataset_fallback(tmp_path, caplog):
     """Datasets that fail bulk indexing fall back gracefully."""
 

@@ -618,6 +618,48 @@ def test_pipeline_depths_match_synchronous(dataset, tmp_path, depth):
                for x, y in zip(ja, jb))
 
 
+def test_pipeline_auto_disabled_by_custom_epoch_end_callback(model, dataset,
+                                                             tmp_path):
+    """A user callback overriding on_epoch_end could observe a later
+    epoch's trainer state if deferred — it must force the synchronous
+    loop (shipped display-only callbacks stay eligible)."""
+    from multivae_tpu.trainers.base.callbacks import TrainingCallback
+
+    class EpochEndReader(TrainingCallback):
+        def __init__(self):
+            self.seen = []
+
+        def on_epoch_end(self, training_config, **kwargs):
+            self.seen.append(1)
+
+    trainer = BaseTrainer(model, dataset,
+                          training_config=small_config(tmp_path),
+                          callbacks=[EpochEndReader()])
+    assert not trainer._pipeline_epochs_eligible()
+
+
+def test_train_calls_overridden_public_train_step(dataset, tmp_path):
+    """train() must route through the PUBLIC train_step/eval_step hooks
+    when a subclass overrides them (pipelining auto-disables)."""
+    calls = []
+
+    class CustomTrainer(BaseTrainer):
+        def train_step(self, epoch):
+            calls.append(epoch)
+            return super().train_step(epoch)
+
+    model = MVTCAE(MVTCAEConfig(
+        n_modalities=2, latent_dim=4,
+        input_dims={"mod1": (2,), "mod2": (3,)},
+    ), seed=0)
+    trainer = CustomTrainer(model, dataset,
+                            training_config=small_config(
+                                tmp_path, num_epochs=3))
+    assert not trainer._pipeline_epochs_eligible()
+    trainer.train()
+    assert calls == [1, 2, 3]
+
+
 def test_pipeline_auto_disabled_with_scheduler(model, dataset, tmp_path):
     trainer = BaseTrainer(
         model, dataset,
