@@ -55,29 +55,56 @@ class MAFSampler(BaseSampler):
     # ------------------------------------------------------------------ fit
     def _fit_one_flow(self, key, data: np.ndarray, num_epochs: int,
                       batch_size: int, learning_rate: float, rng):
+        """The ENTIRE fit is one compiled ``lax.scan`` program: latents
+        upload once, every epoch's (host-seeded, reference-order)
+        permutation is precomputed into a padded (steps, B) index plan,
+        and per-row weights make the padded final batch's loss equal the
+        exact partial-batch mean — so one device dispatch replaces
+        epochs x batches of them (the per-batch loop measured 278
+        latents/s through the TPU tunnel, dispatch-bound)."""
         flow = self.flows_models[key]
         params = flow.init(rng, jnp.zeros((1, self.flows_dims[key])))
 
         opt = optax.adam(learning_rate)
         opt_state = opt.init(params)
 
-        @jax.jit
-        def step(params, opt_state, batch):
-            def nll(p):
-                return -flow.apply(p, batch,
-                                   method=type(flow).log_prob).mean()
-
-            loss, grads = jax.value_and_grad(nll)(params)
-            updates, opt_state_ = opt.update(grads, opt_state)
-            return optax.apply_updates(params, updates), opt_state_, loss
-
         n = data.shape[0]
+        bs = min(batch_size, n)
         idx_rng = np.random.default_rng(0)
-        for epoch in range(num_epochs):
+        idx_rows, w_rows = [], []
+        for _ in range(num_epochs):
             perm = idx_rng.permutation(n)
-            for b in range(0, n, batch_size):
-                batch = jnp.asarray(data[perm[b:b + batch_size]])
-                params, opt_state, loss = step(params, opt_state, batch)
+            for b in range(0, n, bs):
+                chunk = perm[b:b + bs]
+                pad = bs - chunk.shape[0]
+                idx_rows.append(np.pad(chunk, (0, pad)))
+                w_rows.append(np.pad(np.ones(chunk.shape[0], np.float32),
+                                     (0, pad)))
+        idx_mat = jnp.asarray(np.stack(idx_rows))
+        w_mat = jnp.asarray(np.stack(w_rows))
+
+        @jax.jit
+        def fit(params, opt_state, data_dev, idx_mat, w_mat):
+            def step(carry, iw):
+                params, opt_state = carry
+                ii, ww = iw
+                batch = data_dev[ii]
+
+                def nll(p):
+                    lp = flow.apply(p, batch, method=type(flow).log_prob)
+                    return -(lp * ww).sum(dtype=jnp.float32) / ww.sum()
+
+                loss, grads = jax.value_and_grad(nll)(params)
+                updates, opt_state_ = opt.update(grads, opt_state)
+                return (optax.apply_updates(params, updates),
+                        opt_state_), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (idx_mat, w_mat))
+            return params, losses[-1]
+
+        params, loss = fit(params, opt_state, jnp.asarray(data),
+                           idx_mat, w_mat)
         logger.info("Flow '%s' fitted, final nll=%.4f", key, float(loss))
         return params
 

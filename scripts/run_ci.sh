@@ -29,6 +29,8 @@ FAST_TESTS=(
   tests/test_masked_subset_encode.py
   tests/test_base_model_contracts.py
   tests/test_fused_sweeps.py
+  tests/test_microbatch.py
+  tests/test_docs.py
 )
 
 case "$TIER" in
