@@ -54,9 +54,27 @@ def _pad_rows(x, batch_size):
     return x
 
 
+def _unshard(x):
+    """Host-materialize an example arg so the exported program carries NO
+    device shardings. An endpoint exported from a model trained on an
+    N-device mesh must not bake the TRAINING topology into the serving
+    artifact — and jax.export mis-records a typed PRNG key's rank-0
+    sharding against its rank-1 key-data tensor when any arg carries a
+    mesh (``sdy.sharding_constraint ... 0 != 1`` at load time). Typed
+    PRNG keys pass through (numpy cannot hold extended dtypes; a fresh
+    ``jax.random.key`` is unsharded already)."""
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype,
+                                                     jax.dtypes.extended):
+        return x
+    if isinstance(x, jax.Array):
+        return np.asarray(x)
+    return x
+
+
 def _export_serialized(call, path, *example_args):
     from jax import export as jexport
 
+    example_args = jax.tree.map(_unshard, example_args)
     exp = jexport.export(call)(*example_args)
     with open(path, "wb") as f:
         f.write(exp.serialize())

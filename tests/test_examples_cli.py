@@ -95,6 +95,12 @@ def test_all_examples_parse_help():
     ]
     assert len(scripts) >= 15
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # Drop the axon-plugin trigger entirely: sitecustomize registers the
+    # TPU plugin whenever this var is set, and plugin REGISTRATION can
+    # block at interpreter start when the tunnel is unreachable —
+    # JAX_PLATFORMS=cpu alone doesn't stop it (it gates backend
+    # selection, not registration).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     failures = []
     for s in scripts:
         r = subprocess.run(

@@ -78,6 +78,35 @@ def test_predictor_export_roundtrip(model, tmp_path):
                                   np.asarray(loaded["mod2"]))
 
 
+def test_export_after_multi_device_training(tmp_path):
+    """Exporting from a model trained on an N-device mesh must produce a
+    topology-free artifact: sharded params used to leak a mesh into the
+    exported program, and jax.export mis-recorded the typed PRNG key's
+    rank-0 sharding vs its rank-1 key data (sdy verifier error at load
+    time). Regression for the 8-virtual-device CI environment."""
+    import jax
+
+    from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
+
+    model = MVTCAE(MVTCAEConfig(n_modalities=3, latent_dim=LATENT,
+                                input_dims=DIMS), seed=0)
+    ds = make_dataset("complete", n=16)
+    BaseTrainer(model, ds, training_config=BaseTrainerConfig(
+        output_dir=str(tmp_path), num_epochs=1,
+        per_device_train_batch_size=2, learning_rate=1e-3, seed=0,
+        n_devices=8)).train()
+
+    pred = Predictor(model, cond_mod=["mod1"], gen_mod=["mod2"],
+                     batch_size=4, deterministic=True)
+    path = pred.export(str(tmp_path / "endpoint.bin"))
+    call = Predictor.load_exported(path)
+    x = {"mod1": np.random.default_rng(0).random(
+        (4, *DIMS["mod1"]), dtype=np.float32)}
+    host_params = jax.tree.map(np.asarray, model.params)
+    out = call(host_params, x, jax.random.key(0))
+    assert np.isfinite(np.asarray(out["mod2"])).all()
+
+
 # ------------------------------------------------------ AnySubsetPredictor
 def test_any_subset_predictor_mixed_rows(model):
     """One compiled program serves per-ROW heterogeneous conditioning:
