@@ -718,43 +718,72 @@ def bench_mopoe(n_steps=15):
 
 
 def main():
-    jax_sps, mlp_flops = bench_jax()
-    jax_sps_bf16, mlp_flops_bf16 = bench_jax(mixed_precision=True)
-    torch_sps = bench_torch_reference_style()
-    e2e_sps = bench_trainer_e2e()
-    nll_jax_s = bench_nll_jax()
-    nll_torch_s = bench_nll_torch()
-    mmvae_s, mmvae_flops = bench_mmvae_bf16()
-    mopoe_s, mopoe_flops = bench_mopoe()
-    conv_s, conv_flops = bench_mvtcae_conv()
-    convb_s, convb_flops = bench_mvtcae_conv(mixed=True)
-    mmvp_s, mmvp_flops = bench_mmvaeplus_resnet()
-    mvae_s, mvae_flops = bench_mvae_subset_elbo()
-    cmvae_s, cmvae_flops = bench_cmvae_cluster()
-    maf_lps = bench_maf_sampler_fit()
+    """Run every workload, isolating failures: a single bench crashing
+    (OOM, transient backend error) must not cost the round its ENTIRE
+    result line — failed rows report null and the rest still print."""
+    import sys
+    import traceback
+
+    def run(fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception:
+            print(f"bench {fn.__name__}{a} failed:", file=sys.stderr)
+            traceback.print_exc()
+            return None
+
+    def r2(pair):
+        return pair if pair is not None else (None, None)
+
+    jax_sps, mlp_flops = r2(run(bench_jax))
+    jax_sps_bf16, mlp_flops_bf16 = r2(run(bench_jax, mixed_precision=True))
+    torch_sps = run(bench_torch_reference_style)
+    e2e_sps = run(bench_trainer_e2e)
+    nll_jax_s = run(bench_nll_jax)
+    nll_torch_s = run(bench_nll_torch)
+    mmvae_s, mmvae_flops = r2(run(bench_mmvae_bf16))
+    mopoe_s, mopoe_flops = r2(run(bench_mopoe))
+    conv_s, conv_flops = r2(run(bench_mvtcae_conv))
+    convb_s, convb_flops = r2(run(bench_mvtcae_conv, mixed=True))
+    mmvp_s, mmvp_flops = r2(run(bench_mmvaeplus_resnet))
+    mvae_s, mvae_flops = r2(run(bench_mvae_subset_elbo))
+    cmvae_s, cmvae_flops = r2(run(bench_cmvae_cluster))
+    maf_lps = run(bench_maf_sampler_fit)
+
+    def rnd(x, n=3):
+        return None if x is None else round(x, n)
+
+    def ratio(a, b, n=3):
+        return None if a is None or b is None else round(a / b, n)
+
+    def ms(x):
+        return None if x is None else round(x * 1000, 2)
+
     out = {
         "metric": "mvtcae_train_steps_per_sec",
-        "value": round(jax_sps, 3),
+        "value": rnd(jax_sps),
         "unit": "steps/s (batch=256, latent=512, MLP-512, 2 modalities)",
-        "vs_baseline": round(jax_sps / torch_sps, 3),
-        "mvtcae_mlp_bf16_steps_per_sec": round(jax_sps_bf16, 3),
-        "trainer_e2e_steps_per_sec": round(e2e_sps, 3),
-        "trainer_e2e_vs_device_step": round(e2e_sps / jax_sps, 3),
-        "nll_k1000_512pts_seconds": round(nll_jax_s, 3),
-        "nll_k1000_vs_torch_cpu": round(nll_torch_s / nll_jax_s, 2),
-        "mmvae_dreg_bf16_step_ms": round(mmvae_s * 1000, 2),
-        "mopoe_31subset_step_ms": round(mopoe_s * 1000, 2),
-        "mvtcae_polymnist_conv_step_ms": round(conv_s * 1000, 2),
-        "mvtcae_polymnist_conv_bf16_step_ms": round(convb_s * 1000, 2),
-        "mmvaeplus_resnet_bf16_step_ms": round(mmvp_s * 1000, 2),
-        "mvae_subset_elbo_step_ms": round(mvae_s * 1000, 2),
-        "cmvae_cluster_bf16_step_ms": round(cmvae_s * 1000, 2),
-        "maf_sampler_fit_latents_per_sec": round(maf_lps, 1),
+        "vs_baseline": ratio(jax_sps, torch_sps),
+        "mvtcae_mlp_bf16_steps_per_sec": rnd(jax_sps_bf16),
+        "trainer_e2e_steps_per_sec": rnd(e2e_sps),
+        "trainer_e2e_vs_device_step": ratio(e2e_sps, jax_sps),
+        "nll_k1000_512pts_seconds": rnd(nll_jax_s),
+        "nll_k1000_vs_torch_cpu": ratio(nll_torch_s, nll_jax_s, 2),
+        "mmvae_dreg_bf16_step_ms": ms(mmvae_s),
+        "mopoe_31subset_step_ms": ms(mopoe_s),
+        "mvtcae_polymnist_conv_step_ms": ms(conv_s),
+        "mvtcae_polymnist_conv_bf16_step_ms": ms(convb_s),
+        "mmvaeplus_resnet_bf16_step_ms": ms(mmvp_s),
+        "mvae_subset_elbo_step_ms": ms(mvae_s),
+        "cmvae_cluster_bf16_step_ms": ms(cmvae_s),
+        "maf_sampler_fit_latents_per_sec": rnd(maf_lps, 1),
         "peak_tflops_bf16": PEAK_TFLOPS_BF16,
     }
-    out.update(_mfu_fields("mvtcae_mlp_fp32", mlp_flops, 1.0 / jax_sps))
-    out.update(_mfu_fields("mvtcae_mlp_bf16", mlp_flops_bf16,
-                           1.0 / jax_sps_bf16))
+    if jax_sps:
+        out.update(_mfu_fields("mvtcae_mlp_fp32", mlp_flops, 1.0 / jax_sps))
+    if jax_sps_bf16:
+        out.update(_mfu_fields("mvtcae_mlp_bf16", mlp_flops_bf16,
+                               1.0 / jax_sps_bf16))
     out.update(_mfu_fields("mmvae_dreg_bf16", mmvae_flops, mmvae_s))
     out.update(_mfu_fields("mopoe_fp32", mopoe_flops, mopoe_s))
     out.update(_mfu_fields("mvtcae_conv_fp32", conv_flops, conv_s))
