@@ -55,19 +55,18 @@ def _pad_rows(x, batch_size):
 
 
 def _unshard(x):
-    """Host-materialize an example arg so the exported program carries NO
-    device shardings. An endpoint exported from a model trained on an
-    N-device mesh must not bake the TRAINING topology into the serving
-    artifact — and jax.export mis-records a typed PRNG key's rank-0
-    sharding against its rank-1 key-data tensor when any arg carries a
-    mesh (``sdy.sharding_constraint ... 0 != 1`` at load time). Typed
-    PRNG keys pass through (numpy cannot hold extended dtypes; a fresh
-    ``jax.random.key`` is unsharded already)."""
-    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype,
-                                                     jax.dtypes.extended):
-        return x
-    if isinstance(x, jax.Array):
-        return np.asarray(x)
+    """Strip an example arg down to its aval so the exported program
+    carries NO device shardings. An endpoint exported from a model
+    trained on an N-device mesh must not bake the TRAINING topology into
+    the serving artifact — and jax.export mis-records a typed PRNG key's
+    rank-0 sharding against its rank-1 key-data tensor when any arg
+    carries a mesh (``sdy.sharding_constraint ... 0 != 1`` at load
+    time). ``jax.export`` only needs shapes/dtypes, so this returns a
+    ``ShapeDtypeStruct`` (sharding unset) rather than host-materializing
+    the array — a ``np.asarray`` per param leaf would fetch the whole
+    model device->host at export time (one round trip per buffer)."""
+    if isinstance(x, jax.Array) or hasattr(x, "dtype"):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
     return x
 
 
