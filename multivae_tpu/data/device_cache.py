@@ -18,10 +18,17 @@ datasets, however, fit comfortably in HBM (PolyMNIST u8 is ~0.9 GB vs
 - per step, gather the batch rows from HBM *inside* the jitted train
   step: the epoch runs with no host->device traffic at all.
 
+On multi-device meshes the cache is either REPLICATED (default when it
+fits; per-step gathers are collective-free) or row-SHARDED over the data
+axis (``device_cache_layout="sharded"`` / the "auto" fallback): each
+device holds 1/n_data of the rows, so a dataset N x larger than one
+chip's budget still trains with zero per-step host transfers on an
+N-device mesh.
+
 ``build`` returns None (with a logged reason) instead of a cache whenever
-the dataset cannot be cached safely: over the HBM budget, multi-host
-training (each process holds only its shard), or a dataset whose
-``get_batch`` fails on bulk indexing.
+the dataset cannot be cached safely: over the HBM budget in every
+requested layout, multi-host training (each process holds only its
+shard), or a dataset whose ``get_batch`` fails on bulk indexing.
 """
 
 from __future__ import annotations
@@ -135,16 +142,84 @@ def estimate_dataset_nbytes(dataset) -> int:
     return per_sample * len(dataset)
 
 
+def _resolve_cache_layout(layout: str, mesh, est: int,
+                          budget_bytes: int) -> Optional[str]:
+    """Pick the device layout for the cache, or None to fall back.
+
+    ``budget_bytes`` is a PER-DEVICE HBM budget: a replicated cache costs
+    ``est`` bytes on every device, a row-sharded one ``est / n_data``.
+    ``auto`` prefers replicated (per-step gathers are collective-free) and
+    degrades to sharded when only the sharded layout fits — so a dataset
+    N x larger than one chip's budget still trains with zero per-step host
+    transfers on an N-device mesh.
+    """
+    n_data = dict(mesh.shape).get("data", mesh.size) if mesh.size > 1 else 1
+    fits_rep = est <= budget_bytes
+    fits_shard = n_data > 1 and est <= budget_bytes * n_data
+    if layout == "replicated" or mesh.size == 1 or n_data == 1:
+        # (a size-1 data axis makes "sharded" a placement no-op; treat an
+        # explicit request as replicated rather than refusing to cache)
+        if fits_rep:
+            return "replicated"
+    elif layout == "sharded":
+        if fits_shard:
+            return "sharded"
+    else:  # auto
+        if fits_rep:
+            return "replicated"
+        if fits_shard:
+            logger.info(
+                "cache_on_device: dataset ~%.2f GB exceeds the per-device "
+                "budget %.2f GB; caching row-SHARDED over the %d-way data "
+                "axis (~%.2f GB/device).", est / 1e9, budget_bytes / 1e9,
+                n_data, est / n_data / 1e9)
+        return "sharded" if fits_shard else None
+    return None
+
+
+def _pad_rows_to_multiple(x: np.ndarray, multiple: int) -> np.ndarray:
+    pad = (-x.shape[0]) % multiple
+    if pad:
+        x = np.concatenate(
+            [x, np.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+    return x
+
+
+def cache_per_device_nbytes(cache: DeviceDataCache) -> int:
+    """Actual HBM bytes the cache occupies on EACH device (one shard per
+    device; equals the full dataset when replicated, dataset / n_data
+    when row-sharded)."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves((cache.data, cache.masks,
+                                           cache.labels)):
+        shards = getattr(leaf, "addressable_shards", None)
+        if shards:
+            total += int(shards[0].data.nbytes)
+        else:  # pragma: no cover - plain numpy leaf
+            total += int(np.asarray(leaf).nbytes)
+    return total
+
+
 def build_device_cache(dataset, mesh, budget_bytes: int,
-                       chunk: int = 4096) -> Optional[DeviceDataCache]:
+                       chunk: int = 4096,
+                       layout: str = "auto") -> Optional[DeviceDataCache]:
     """Materialize + upload the dataset; None when caching is unsafe.
 
     Single-device mesh: leaves are transferred UNCOMMITTED
     (``jnp.asarray``) — committed arrays fall off the axon TPU plugin's
-    fast execution path (see ``utils/host_init.py``). Multi-device:
-    replicated NamedSharding device_put (each device holds the full
-    dataset; the per-step gather is then local and XLA shards the
-    gathered batch over the data axis from the step's output sharding).
+    fast execution path (see ``utils/host_init.py``). Multi-device,
+    ``layout="replicated"``: replicated NamedSharding device_put (each
+    device holds the full dataset; the per-step gather is then local and
+    XLA shards the gathered batch over the data axis from the step's
+    output sharding). Multi-device, ``layout="sharded"``: rows sharded
+    over the mesh's "data" axis (each device holds ``n / n_data`` rows,
+    zero-padded to divide evenly) — per-device HBM drops by the data-axis
+    size, and XLA lowers the in-step gather to a tiny index all-gather +
+    masked local gather + one batch-sized all-reduce on ICI (verified:
+    the DATASET is never all-gathered), so batches stay bit-identical to
+    the host loader's (the masked partials are exact zeros; summing them
+    is exact in fp). ``layout="auto"`` prefers replicated and falls back
+    to sharded when only that fits the per-device budget.
     """
     if jax.process_count() > 1:
         logger.info(
@@ -158,11 +233,12 @@ def build_device_cache(dataset, mesh, budget_bytes: int,
             "cache_on_device: dataset does not support bulk indexing "
             "(%s); using the host loader.", e)
         return None
-    if est > budget_bytes:
+    layout = _resolve_cache_layout(layout, mesh, est, budget_bytes)
+    if layout is None:
         logger.warning(
             "cache_on_device: dataset ~%.2f GB exceeds the device cache "
-            "budget %.2f GB; using the host loader.",
-            est / 1e9, budget_bytes / 1e9)
+            "budget %.2f GB (in every requested layout); using the host "
+            "loader.", est / 1e9, budget_bytes / 1e9)
         return None
 
     n = len(dataset)
@@ -197,6 +273,13 @@ def build_device_cache(dataset, mesh, budget_bytes: int,
 
     if mesh.size == 1:
         put = jnp.asarray  # uncommitted (axon fast path)
+    elif layout == "sharded":
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_data = dict(mesh.shape).get("data", mesh.size)
+        row_sh = NamedSharding(mesh, PartitionSpec("data"))
+        put = lambda x: jax.device_put(  # noqa: E731
+            _pad_rows_to_multiple(np.asarray(x), n_data), row_sh)
     else:
         from ..parallel.mesh import replicated_sharding
 
@@ -220,6 +303,7 @@ def build_device_cache(dataset, mesh, budget_bytes: int,
             "loader.", e)
         return None
     logger.info(
-        "cache_on_device: dataset resident in HBM (~%.3f GB, %d samples); "
-        "epochs run with no per-step host transfers.", est / 1e9, n)
+        "cache_on_device: dataset resident in HBM (~%.3f GB, %d samples, "
+        "%s layout); epochs run with no per-step host transfers.",
+        est / 1e9, n, layout if mesh.size > 1 else "single-device")
     return cache

@@ -204,24 +204,25 @@ class BaseTrainer:
         if training_config.cache_on_device:
             from ...data.device_cache import (
                 build_device_cache,
-                estimate_dataset_nbytes,
+                cache_per_device_nbytes,
             )
 
             budget = int(training_config.device_cache_budget_gb * 1e9)
+            layout = training_config.device_cache_layout
             self._train_cache = build_device_cache(
-                train_dataset, self.mesh, budget)
+                train_dataset, self.mesh, budget, layout=layout)
             if eval_dataset is not None:
                 # Budget the eval cache independently: a train set that
                 # fell back (over budget / unindexable) must not also
-                # cost the eval set its HBM residency.
+                # cost the eval set its HBM residency. ``used`` is the
+                # train cache's ACTUAL per-device footprint (layout-aware:
+                # a sharded cache costs 1/n_data per device).
                 used = 0
                 if self._train_cache is not None:
-                    try:
-                        used = estimate_dataset_nbytes(train_dataset)
-                    except Exception:  # pragma: no cover - estimated above
-                        used = 0
+                    used = cache_per_device_nbytes(self._train_cache)
                 self._eval_cache = build_device_cache(
-                    eval_dataset, self.mesh, max(budget - used, 0))
+                    eval_dataset, self.mesh, max(budget - used, 0),
+                    layout=layout)
 
         self._run_model_sanity_check()
 
@@ -557,9 +558,13 @@ class BaseTrainer:
         else:
             rep = replicated_sharding(self.mesh)
             state_sh = self._state_sharding(rep)
+            # The cache keeps its OWN layout (row-sharded caches must not
+            # be resharded to replicated at the jit boundary — that would
+            # all-gather the dataset every dispatch).
+            cache_sh = jax.tree.map(lambda x: x.sharding, self._train_cache)
             fn = jax.jit(
                 chunk_fn, donate_argnums=(0,),
-                in_shardings=(state_sh, rep, rep, rep, rep),
+                in_shardings=(state_sh, cache_sh, rep, rep, rep),
                 out_shardings=(state_sh, rep),
             )
         self._cached_train_fns[key] = fn
@@ -595,10 +600,11 @@ class BaseTrainer:
             fn = jax.jit(chunk_fn)
         else:
             rep = replicated_sharding(self.mesh)
+            cache_sh = jax.tree.map(lambda x: x.sharding, self._eval_cache)
             fn = jax.jit(
                 chunk_fn,
-                in_shardings=(self._params_sharding(rep), rep, rep, rep,
-                              rep, rep),
+                in_shardings=(self._params_sharding(rep), cache_sh, rep,
+                              rep, rep, rep),
                 out_shardings=rep,
             )
         self._cached_eval_fns[key] = fn

@@ -92,6 +92,17 @@ class BaseTrainerConfig(BaseConfig):
             TPU-native extension, off by default.
         device_cache_budget_gb: per-device HBM budget for the dataset
             cache (train + eval combined must fit).
+        device_cache_layout: device layout of the cache on multi-device
+            meshes. "replicated" (every device holds the full dataset;
+            per-step gathers are collective-free), "sharded" (rows
+            sharded over the mesh's "data" axis — per-device HBM drops
+            by the data-axis size; XLA lowers the in-step gather to a
+            tiny index all-gather + one batch-sized ICI all-reduce;
+            batches stay bit-identical), or "auto" (default): replicated
+            when it fits the per-device budget, sharded otherwise — so a
+            dataset N x larger than one chip's budget still trains with
+            zero per-step host transfers on an N-device mesh. Ignored on
+            single-device meshes.
         steps_per_execution: fuse this many train/eval steps into one
             compiled ``lax.scan`` dispatch (requires cache_on_device).
             Removes per-step host dispatch latency; per-step callbacks
@@ -149,6 +160,7 @@ class BaseTrainerConfig(BaseConfig):
     microbatch_steps: int = 1
     cache_on_device: bool = False
     device_cache_budget_gb: float = 8.0
+    device_cache_layout: str = "auto"
     steps_per_execution: int = 1
     pipeline_epochs: bool = True
     pipeline_depth: int = 8
@@ -183,6 +195,12 @@ class BaseTrainerConfig(BaseConfig):
             raise AttributeError(
                 "pipeline_depth must be a positive integer, got "
                 f"{self.pipeline_depth}."
+            )
+        if self.device_cache_layout not in ("auto", "replicated",
+                                            "sharded"):
+            raise AttributeError(
+                "device_cache_layout must be 'auto', 'replicated' or "
+                f"'sharded', got {self.device_cache_layout!r}."
             )
         if self.steps_per_execution > 1 and not self.cache_on_device:
             raise AttributeError(

@@ -164,6 +164,88 @@ def test_cached_training_multi_device_dp(dataset, tmp_path):
     assert_params_equal(th, tc, atol=1e-5)
 
 
+def _leading_axis_spec(x):
+    spec = x.sharding.spec
+    return spec[0] if len(spec) else None
+
+
+def test_sharded_cache_training_identical(dataset, tmp_path):
+    """device_cache_layout='sharded': the dataset rows live sharded over
+    the data axis (1/8th per device, zero-padded to divide evenly), and
+    training matches the 8-device HOST-loader run. XLA lowers the in-step
+    gather to a masked local gather + batch all-reduce; the non-owner
+    partials are exact zeros, so batches are bit-identical."""
+    th, lh = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                         tmp_path / "h", n_devices=8, bs=1)
+    tc, lc = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                         tmp_path / "c", n_devices=8, bs=1,
+                         cache_on_device=True, steps_per_execution=2,
+                         device_cache_layout="sharded")
+    cache = tc._train_cache
+    assert cache is not None
+    for leaf in jax.tree_util.tree_leaves((cache.data, cache.masks)):
+        assert _leading_axis_spec(leaf) == "data"
+        assert leaf.shape[0] == 40  # 37 padded to a multiple of 8
+        # each device holds one 1/8th row shard
+        assert leaf.addressable_shards[0].data.shape[0] == 5
+    for (a, b), (c, d) in zip(lh, lc):
+        assert a == pytest.approx(c, rel=1e-5)
+        assert b == pytest.approx(d, rel=1e-5)
+    assert_params_equal(th, tc, atol=1e-5)
+
+
+def test_sharded_cache_matches_replicated_exactly(dataset, tmp_path):
+    """Same mesh, same seeds: the sharded layout reproduces the
+    replicated layout's losses and params BIT-identically (the layouts
+    must be pure placement choices, not semantic ones)."""
+    tr, lr = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                         tmp_path / "r", n_devices=8, bs=1,
+                         cache_on_device=True, steps_per_execution=2,
+                         device_cache_layout="replicated")
+    ts, ls = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                         tmp_path / "s", n_devices=8, bs=1,
+                         cache_on_device=True, steps_per_execution=2,
+                         device_cache_layout="sharded")
+    assert lr == ls
+    assert_params_equal(tr, ts)
+
+
+def test_sharded_cache_auto_budget_fallback(dataset, tmp_path, caplog):
+    """auto layout degrades replicated -> sharded when only the sharded
+    footprint fits the per-device budget (dataset ~1.3 KB here; budget
+    set between est/8 and est)."""
+    est = estimate_dataset_nbytes(dataset)
+    with caplog.at_level(logging.INFO,
+                         logger="multivae_tpu.data.device_cache"):
+        tc, lc = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                             tmp_path, n_epochs=1, n_devices=8, bs=1,
+                             cache_on_device=True, with_eval=False,
+                             device_cache_budget_gb=(est / 2) / 1e9)
+    cache = tc._train_cache
+    assert cache is not None
+    for leaf in jax.tree_util.tree_leaves(cache.data):
+        assert _leading_axis_spec(leaf) == "data"
+    assert any("caching row-SHARDED" in r.message for r in caplog.records)
+    assert np.isfinite(lc[0][0])
+
+
+def test_sharded_cache_incomplete_dataset(incomplete_dataset, tmp_path):
+    """Masks ride the sharded cache too (MVAE subset sampling on
+    incomplete data, 8-device DP)."""
+    cfg = MVAEConfig(n_modalities=2, latent_dim=4,
+                     input_dims={"mod1": (2,), "mod2": (3,)})
+    th, lh = run_trainer(MVAE(cfg, seed=0), incomplete_dataset,
+                         tmp_path / "h", n_devices=8, bs=1)
+    tc, lc = run_trainer(MVAE(cfg, seed=0), incomplete_dataset,
+                         tmp_path / "c", n_devices=8, bs=1,
+                         cache_on_device=True,
+                         device_cache_layout="sharded")
+    assert tc._train_cache.incomplete is True
+    for (a, b), (c, d) in zip(lh, lc):
+        assert a == pytest.approx(c, rel=1e-5)
+    assert_params_equal(th, tc, atol=1e-5)
+
+
 # --------------------------------------------------------------- fallbacks
 def test_cache_budget_fallback(dataset, tmp_path, caplog):
     """Over-budget datasets fall back to the host loader with a logged
@@ -182,13 +264,19 @@ def test_cache_budget_fallback(dataset, tmp_path, caplog):
 
 def test_eval_cache_independent_of_train_fallback(dataset, tmp_path):
     """A train set over the HBM budget must not cost the (smaller) eval
-    set its device cache: the eval cache budgets independently."""
+    set its device cache: the eval cache budgets independently. The
+    budget is set so the big train set doesn't fit in ANY layout (the
+    trainer's default mesh here spans the 8 virtual test devices, so an
+    over-budget-replicated set may legitimately cache row-SHARDED —
+    est/8 per device — which is test_sharded_cache_auto_budget_fallback's
+    subject, not this test's)."""
     rng = np.random.default_rng(2)
     big = MultimodalBaseDataset({
-        "mod1": rng.normal(size=(N * 40, 2)).astype(np.float32),
-        "mod2": rng.normal(size=(N * 40, 3)).astype(np.float32),
+        "mod1": rng.normal(size=(N * 100, 2)).astype(np.float32),
+        "mod2": rng.normal(size=(N * 100, 3)).astype(np.float32),
     })
-    budget_gb = (estimate_dataset_nbytes(dataset) * 4) / 1e9
+    budget_gb = (estimate_dataset_nbytes(dataset) * 2) / 1e9
+    assert estimate_dataset_nbytes(big) > budget_gb * 1e9 * 8
     cfg = BaseTrainerConfig(
         output_dir=str(tmp_path), num_epochs=1,
         per_device_train_batch_size=8, per_device_eval_batch_size=8,
