@@ -229,6 +229,23 @@ def test_sharded_cache_auto_budget_fallback(dataset, tmp_path, caplog):
     assert np.isfinite(lc[0][0])
 
 
+def test_sharded_cache_2d_mesh(dataset, tmp_path):
+    """On a 2-D (data, model) mesh the cache shards rows over the DATA
+    axis only (replicated across the model axis): 4-way row shards on a
+    4x2 mesh, and training still runs finite with tensor parallelism."""
+    tc, lc = run_trainer(MVTCAE(model_config(), seed=0), dataset,
+                         tmp_path, n_epochs=1, n_devices=4, bs=2,
+                         n_model_devices=2, cache_on_device=True,
+                         device_cache_layout="sharded", with_eval=False)
+    cache = tc._train_cache
+    assert cache is not None
+    for leaf in jax.tree_util.tree_leaves(cache.data):
+        assert _leading_axis_spec(leaf) == "data"
+        assert leaf.shape[0] == 40  # 37 padded to a multiple of 4
+        assert leaf.addressable_shards[0].data.shape[0] == 10
+    assert np.isfinite(lc[0][0])
+
+
 def test_sharded_cache_incomplete_dataset(incomplete_dataset, tmp_path):
     """Masks ride the sharded cache too (MVAE subset sampling on
     incomplete data, 8-device DP)."""
