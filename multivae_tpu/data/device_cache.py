@@ -221,6 +221,10 @@ def build_device_cache(dataset, mesh, budget_bytes: int,
     is exact in fp). ``layout="auto"`` prefers replicated and falls back
     to sharded when only that fits the per-device budget.
     """
+    if layout not in ("auto", "replicated", "sharded"):
+        raise ValueError(
+            "device cache layout must be 'auto', 'replicated' or "
+            f"'sharded', got {layout!r}.")
     if jax.process_count() > 1:
         logger.info(
             "cache_on_device: disabled under multi-host training (each "

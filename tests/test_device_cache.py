@@ -229,6 +229,16 @@ def test_sharded_cache_auto_budget_fallback(dataset, tmp_path, caplog):
     assert np.isfinite(lc[0][0])
 
 
+def test_cache_layout_validation(dataset):
+    """Both the config and the public build API reject layout typos
+    loudly instead of silently falling into 'auto'."""
+    with pytest.raises(AttributeError, match="device_cache_layout"):
+        BaseTrainerConfig(device_cache_layout="row-sharded")
+    with pytest.raises(ValueError, match="device cache layout"):
+        build_device_cache(dataset, get_data_mesh(1), 10**9,
+                           layout="Sharded")
+
+
 def test_sharded_cache_2d_mesh(dataset, tmp_path):
     """On a 2-D (data, model) mesh the cache shards rows over the DATA
     axis only (replicated across the model axis): 4-way row shards on a
