@@ -93,11 +93,27 @@ class DeviceCachedLoader:
     set many times; the trainer has its own fused scan path.
     """
 
-    def __init__(self, loader, cache: DeviceDataCache):
+    def __init__(self, loader, cache: DeviceDataCache, mesh=None):
         self.loader = loader
         self.cache = cache
-        self._gather = jax.jit(
-            lambda cache, idx, w: cache.gather(idx, w))
+        if mesh is not None and mesh.size > 1:
+            # Sharded evaluation: constrain the gathered batch onto the
+            # data axis so the metric programs partition exactly as they
+            # do with the host PrefetchLoader's sharded device puts.
+            from ..parallel.mesh import batch_sharding
+
+            bsh = batch_sharding(mesh)
+
+            def gather(cache, idx, w):
+                batch = cache.gather(idx, w)
+                return jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, bsh),
+                    batch)
+
+            self._gather = jax.jit(gather)
+        else:
+            self._gather = jax.jit(
+                lambda cache, idx, w: cache.gather(idx, w))
         # Host-side view of the tiny per-batch leaves: the metric loops
         # read ``batch.weights`` / ``batch.labels`` with np.asarray each
         # batch, and a device-resident copy costs a blocking ~44 ms

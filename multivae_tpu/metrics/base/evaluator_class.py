@@ -49,15 +49,15 @@ class Evaluator:
             self.mesh = get_data_mesh(self.n_devices)
         self.test_loader = DataLoader(test_dataset, self.batch_size,
                                       shuffle=False, drop_last=False)
-        if self.mesh is not None:
-            from ...data.prefetch import PrefetchLoader
-
-            self.test_loader = PrefetchLoader(self.test_loader, self.mesh,
-                                              depth=2)
-        elif getattr(eval_config, "cache_on_device", False):
+        cached = False
+        if getattr(eval_config, "cache_on_device", False):
             # HBM-resident test set: evaluator sweeps re-read the test
             # set many times; gathering on device replaces a
             # multi-megabyte upload per batch with one tiny dispatch.
+            # Composes with sharded evaluation: on a data mesh the cache
+            # follows the trainer's layout rules (replicated, or
+            # row-sharded when only that fits the per-device budget) and
+            # the gathered batch is constrained onto the data axis.
             # Falls back silently (with a logged reason) when unsafe.
             from ...data.device_cache import (
                 DeviceCachedLoader,
@@ -67,11 +67,17 @@ class Evaluator:
 
             budget = int(getattr(eval_config, "device_cache_budget_gb",
                                  8.0) * 1e9)
-            cache = build_device_cache(test_dataset, get_data_mesh(1),
-                                       budget)
+            mesh = self.mesh if self.mesh is not None else get_data_mesh(1)
+            cache = build_device_cache(test_dataset, mesh, budget)
             if cache is not None:
                 self.test_loader = DeviceCachedLoader(self.test_loader,
-                                                      cache)
+                                                      cache, mesh=mesh)
+                cached = True
+        if self.mesh is not None and not cached:
+            from ...data.prefetch import PrefetchLoader
+
+            self.test_loader = PrefetchLoader(self.test_loader, self.mesh,
+                                              depth=2)
         if output is not None:
             Path(output).mkdir(parents=True, exist_ok=True)
         self.output = output

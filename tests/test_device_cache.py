@@ -416,6 +416,38 @@ def test_evaluator_device_cache_identical_metrics(dataset):
     assert nlls[False] == pytest.approx(nlls[True], rel=1e-6)
 
 
+def test_evaluator_cache_composes_with_sharded_eval(dataset):
+    """cache_on_device + n_devices: the evaluator gathers test batches
+    from the device cache AND partitions its metric programs over the
+    data mesh — same metrics as the sharded host-loader path."""
+    import jax.numpy as jnp
+
+    from multivae_tpu.data.device_cache import DeviceCachedLoader
+    from multivae_tpu.metrics import (
+        CoherenceEvaluator,
+        CoherenceEvaluatorConfig,
+    )
+
+    model = MVTCAE(model_config(), seed=0)
+    rng = np.random.default_rng(7)
+    W1 = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+    W2 = jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32))
+    clfs = {"mod1": lambda x: x @ W1, "mod2": lambda x: x @ W2}
+
+    results = {}
+    for cached in (False, True):
+        model.set_seed(3)
+        ev = CoherenceEvaluator(
+            model, clfs, dataset,
+            eval_config=CoherenceEvaluatorConfig(
+                batch_size=16, num_classes=3, n_devices=8,
+                cache_on_device=cached))
+        assert isinstance(ev.test_loader, DeviceCachedLoader) == cached
+        ev.cross_coherences()
+        results[cached] = dict(ev.metrics)
+    assert results[False] == results[True]
+
+
 def test_cached_full_train_loop_saves_model(dataset, tmp_path):
     """The full train() loop (callbacks, best-model, final save) works on
     the cached path."""
