@@ -73,6 +73,18 @@ def _to_bf16(tree):
     )
 
 
+def _packed_scalars_in_graph(sums):
+    """In-graph counterpart of ``BaseTrainer._pack_epoch_scalars``: fuse
+    a chunk's ``{"loss_sum", "metrics"}`` sums into one f32 vector
+    INSIDE the chunk program (key order = sorted, matching the pytree
+    order jit returns dicts in), so single-chunk epochs need no separate
+    pack dispatch."""
+    metrics = sums["metrics"]
+    return jnp.stack(
+        [jnp.asarray(sums["loss_sum"], jnp.float32)]
+        + [jnp.asarray(metrics[k], jnp.float32) for k in sorted(metrics)])
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -551,7 +563,13 @@ class BaseTrainer:
 
             state, outs = jax.lax.scan(body, state,
                                        jnp.arange(n_steps, dtype=jnp.int32))
-            return state, jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
+            sums = jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
+            # Also emit the epoch's PACKED scalar vector in-graph: when
+            # the epoch runs as one chunk this replaces the separate
+            # `_pack_epoch_scalars` dispatch — on the tunneled setup
+            # every launch costs a serialized host round trip, so one
+            # launch per epoch instead of two is a direct e2e win.
+            return state, sums, _packed_scalars_in_graph(sums)
 
         if self.mesh.size == 1:
             fn = jax.jit(chunk_fn, donate_argnums=(0,))
@@ -565,7 +583,7 @@ class BaseTrainer:
             fn = jax.jit(
                 chunk_fn, donate_argnums=(0,),
                 in_shardings=(state_sh, cache_sh, rep, rep, rep),
-                out_shardings=(state_sh, rep),
+                out_shardings=(state_sh, rep, rep),
             )
         self._cached_train_fns[key] = fn
         return fn
@@ -594,7 +612,8 @@ class BaseTrainer:
 
             _, outs = jax.lax.scan(body, None,
                                    jnp.arange(n_steps, dtype=jnp.int32))
-            return jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
+            sums = jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
+            return sums, _packed_scalars_in_graph(sums)
 
         if self.mesh.size == 1:
             fn = jax.jit(chunk_fn)
@@ -605,7 +624,7 @@ class BaseTrainer:
                 chunk_fn,
                 in_shardings=(self._params_sharding(rep), cache_sh, rep,
                               rep, rep, rep),
-                out_shardings=rep,
+                out_shardings=(rep, rep),
             )
         self._cached_eval_fns[key] = fn
         return fn
@@ -676,12 +695,15 @@ class BaseTrainer:
 
         loss_sum_total = None
         metric_sums = {}
+        packed = None
+        n_chunks = 0
         b = 0
         while b < n_batches:
             n = min(chunk, n_batches - b)
             fn = self._compiled_cached_train_chunk(n)
-            self.state, out = fn(self.state, self._train_cache, idx_dev,
-                                 np.int32(b), epoch_arr)
+            self.state, out, packed = fn(self.state, self._train_cache,
+                                         idx_dev, np.int32(b), epoch_arr)
+            n_chunks += 1
             loss_sum_total = (
                 out["loss_sum"] if loss_sum_total is None
                 else loss_sum_total + out["loss_sum"]
@@ -695,7 +717,10 @@ class BaseTrainer:
         if epoch < self.training_config.num_epochs:
             self._upload_epoch_plan("train", self.train_loader, epoch + 1)
         self._evict_epoch_plan("train", self.train_loader, epoch)
-        return loss_sum_total, metric_sums
+        # Single-chunk epochs carry their packed scalar vector out of the
+        # chunk program itself — no separate pack dispatch needed.
+        fused = (packed, sorted(metric_sums)) if n_chunks == 1 else None
+        return loss_sum_total, metric_sums, fused
 
     def _run_cached_eval_epoch(self, epoch: int):
         idx_dev = self._upload_epoch_plan("eval", self.eval_loader, epoch)
@@ -707,12 +732,15 @@ class BaseTrainer:
 
         loss_sum_total = None
         metric_sums = {}
+        packed = None
+        n_chunks = 0
         b = 0
         while b < n_batches:
             n = min(chunk, n_batches - b)
             fn = self._compiled_cached_eval_chunk(n)
-            out = fn(self.state.params, self._eval_cache, idx_dev,
-                     np.int32(b), rng, epoch_arr)
+            out, packed = fn(self.state.params, self._eval_cache, idx_dev,
+                             np.int32(b), rng, epoch_arr)
+            n_chunks += 1
             loss_sum_total = (
                 out["loss_sum"] if loss_sum_total is None
                 else loss_sum_total + out["loss_sum"]
@@ -724,7 +752,8 @@ class BaseTrainer:
         if epoch < self.training_config.num_epochs:
             self._upload_epoch_plan("eval", self.eval_loader, epoch + 1)
         self._evict_epoch_plan("eval", self.eval_loader, epoch)
-        return loss_sum_total, metric_sums
+        fused = (packed, sorted(metric_sums)) if n_chunks == 1 else None
+        return loss_sum_total, metric_sums, fused
 
     def train_step(self, epoch: int):
         """One epoch over the train loader; returns (epoch_loss, metrics)."""
@@ -737,19 +766,29 @@ class BaseTrainer:
         epoch_metrics = {k: v / n_batches for k, v in fetched.items()}
         return epoch_loss, epoch_metrics
 
-    def _train_epoch_device(self, epoch: int):
+    def _train_epoch_device(self, epoch: int, refresh_params: bool = True):
         """Dispatch one train epoch; returns the epoch's DEVICE-resident
         packed scalars ``(vec, keys)`` without forcing a device->host
         transfer (the pipelined ``train()`` loop overlaps that fetch
-        with the next epoch's compute)."""
+        with the next epoch's compute).
+
+        ``refresh_params=False`` (pipelined loop only, and only when
+        ``_needs_epoch_param_snapshot`` is False) skips the per-epoch
+        whole-tree params copy: on the tunneled setup every launch
+        costs a serialized host round trip, and when neither best-model
+        tracking nor a model ``update`` hook can consume the snapshot,
+        the copy is pure overhead — ``model.params`` is refreshed at
+        sync-finalize epochs and the last epoch instead."""
         self.callback_handler.on_train_step_begin(
             self.training_config, train_loader=self.train_loader, epoch=epoch,
         )
         n_batches = len(self.train_loader)
         dataset_size = len(self.train_dataset)
 
+        fused = None
         if self._train_cache is not None:
-            loss_sum_total, metric_sums = self._run_cached_train_epoch(epoch)
+            loss_sum_total, metric_sums, fused = (
+                self._run_cached_train_epoch(epoch))
         else:
             step_fn = self._compiled_train_step()
             self.train_loader.set_epoch(epoch)
@@ -772,21 +811,25 @@ class BaseTrainer:
                 update_dict(metric_sums, out["metrics"])
                 self.callback_handler.on_train_step_end(self.training_config)
 
-        # Expose the updated params to the model (epoch-end hooks, predict).
-        # Copy: the TrainState is donated every step, which would otherwise
-        # delete these buffers out from under the model. The copy runs as
-        # ONE jitted program — per-leaf jnp.copy costs a dispatch per leaf
-        # (measured 54 ms/epoch through the TPU tunnel vs ~3 ms fused).
-        self.model.params = self._tree_copy(self.state.params)
-        if type(self.model).update is not BaseModel.update:
-            # The epoch-end self-update hook may mutate model.params —
-            # propagate the result back into the (donated) TrainState.
-            # Models with the default no-op hook skip the second copy
-            # (one fused device program, ~3 ms/epoch on the tunnel).
-            self.model.update()
-            self.state = self.state.replace(
-                params=self._tree_copy(self.model.params)
-            )
+        if refresh_params:
+            # Expose the updated params to the model (epoch-end hooks,
+            # predict). Copy: the TrainState is donated every step, which
+            # would otherwise delete these buffers out from under the
+            # model. The copy runs as ONE jitted program — per-leaf
+            # jnp.copy costs a dispatch per leaf (measured 54 ms/epoch
+            # through the TPU tunnel vs ~3 ms fused).
+            self.model.params = self._tree_copy(self.state.params)
+            if type(self.model).update is not BaseModel.update:
+                # The epoch-end self-update hook may mutate model.params —
+                # propagate the result back into the (donated) TrainState.
+                # Models with the default no-op hook skip the second copy
+                # (one fused device program, ~3 ms/epoch on the tunnel).
+                self.model.update()
+                self.state = self.state.replace(
+                    params=self._tree_copy(self.model.params)
+                )
+        if fused is not None:
+            return fused
         return self._pack_epoch_scalars(loss_sum_total, metric_sums)
 
     def eval_step(self, epoch: int):
@@ -809,8 +852,10 @@ class BaseTrainer:
         dataset_size = len(self.eval_dataset)
         n_batches = len(self.eval_loader)
 
+        fused = None
         if self._eval_cache is not None:
-            loss_sum_total, metric_sums = self._run_cached_eval_epoch(epoch)
+            loss_sum_total, metric_sums, fused = (
+                self._run_cached_eval_epoch(epoch))
         else:
             eval_fn = self._compiled_eval_step()
             rng = jax.random.key(self.training_config.seed + 1000 + epoch)
@@ -830,7 +875,23 @@ class BaseTrainer:
                 update_dict(metric_sums, out["metrics"])
                 self.callback_handler.on_eval_step_end(self.training_config)
 
+        if fused is not None:
+            return fused
         return self._pack_epoch_scalars(loss_sum_total, metric_sums)
+
+    @property
+    def _needs_epoch_param_snapshot(self) -> bool:
+        """Whether the per-epoch post-epoch params snapshot
+        (``model.params = _tree_copy(state.params)``) has any consumer:
+        best-model tracking (an eval set, ``keep_best_on_train``, or a
+        ``start_keep_best_epoch`` warmup window) or a model ``update``
+        hook. When False, the pipelined loop skips the per-epoch copy
+        launch and refreshes ``model.params`` only at sync-finalize
+        epochs and the last epoch."""
+        return (self.eval_dataset is not None
+                or self.training_config.keep_best_on_train
+                or self.start_keep_best_epoch >= 1
+                or type(self.model).update is not BaseModel.update)
 
     def _schedulers_step(self, metric=None):
         if self.scheduler is None:
@@ -941,18 +1002,26 @@ class BaseTrainer:
             epoch_eval_loss = self.best_eval_loss
             self._schedulers_step(epoch_train_loss)
 
+        def snap():
+            if candidate_params is None:  # pragma: no cover - internal
+                raise RuntimeError(
+                    "internal: best-model tracking fired for an epoch "
+                    "whose params snapshot was skipped "
+                    "(_needs_epoch_param_snapshot miscomputed)")
+            return self._tree_copy(candidate_params)
+
         if epoch <= self.start_keep_best_epoch:
-            self._best_params = self._tree_copy(candidate_params)
+            self._best_params = snap()
             logger.info("New model saved!")
         elif (epoch_eval_loss < self.best_eval_loss
               and not self.training_config.keep_best_on_train):
             self.best_eval_loss = epoch_eval_loss
-            self._best_params = self._tree_copy(candidate_params)
+            self._best_params = snap()
             logger.info("New best model on eval saved!")
         elif (epoch_train_loss < self.best_train_loss
               and self.training_config.keep_best_on_train):
             self.best_train_loss = epoch_train_loss
-            self._best_params = self._tree_copy(candidate_params)
+            self._best_params = snap()
             logger.info("New best model on train saved!")
 
         if (self.training_config.steps_predict is not None
@@ -1047,13 +1116,21 @@ class BaseTrainer:
                     self.model.params, file_logger=file_logger)
                 continue
 
-            train_sums = self._train_epoch_device(epoch)
+            # Skip the per-epoch params-snapshot launch when nothing can
+            # consume it (no best-model tracking, no update hook); the
+            # last epoch and sync-finalize epochs still refresh so
+            # predict/checkpoint/final-save read fresh params.
+            refresh = (self._needs_epoch_param_snapshot
+                       or self._epoch_needs_sync_finalize(epoch)
+                       or epoch == self.training_config.num_epochs)
+            train_sums = self._train_epoch_device(epoch,
+                                                  refresh_params=refresh)
             eval_sums = (self._eval_epoch_device(epoch)
                          if self.eval_dataset is not None else None)
             # Post-epoch parameter snapshot (a fresh copy made by the
             # epoch tail) — finalization may run epochs later, after
             # the TrainState has moved on.
-            candidate = self.model.params
+            candidate = self.model.params if refresh else None
 
             pending.append((epoch, train_sums, eval_sums, candidate))
             if (epoch == self.training_config.num_epochs

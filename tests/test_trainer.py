@@ -618,6 +618,58 @@ def test_pipeline_depths_match_synchronous(dataset, tmp_path, depth):
                for x, y in zip(ja, jb))
 
 
+@pytest.mark.parametrize("cache", [False, True])
+def test_pipelined_snapshot_skip_mode_matches_synchronous(dataset, tmp_path,
+                                                          cache):
+    """With NO eval set, no keep_best and no update hook, the pipelined
+    loop skips the per-epoch params-snapshot launch
+    (`_needs_epoch_param_snapshot` False) — final TrainState params and
+    logged train metrics must still match the synchronous loop, and
+    model.params must be FRESH (refreshed at the last epoch) so the
+    final save works."""
+    from multivae_tpu.trainers.base.callbacks import TrainingCallback
+
+    class Collector(TrainingCallback):
+        def __init__(self):
+            self.logs = []
+
+        def on_log(self, training_config, logs, **kwargs):
+            self.logs.append((kwargs.get("global_step"), dict(logs)))
+
+    runs = {}
+    for pipelined in (False, True):
+        model = MVTCAE(MVTCAEConfig(
+            n_modalities=2, latent_dim=4,
+            input_dims={"mod1": (2,), "mod2": (3,)},
+        ), seed=0)
+        collector = Collector()
+        cfg = small_config(tmp_path / f"snap{pipelined}{cache}",
+                           num_epochs=4, learning_rate=1e-2,
+                           pipeline_epochs=pipelined,
+                           cache_on_device=cache)
+        trainer = BaseTrainer(model, dataset, eval_dataset=None,
+                              training_config=cfg, callbacks=[collector])
+        assert not trainer._needs_epoch_param_snapshot
+        trainer.train()
+        runs[pipelined] = (trainer, collector)
+
+    t_sync, c_sync = runs[False]
+    t_pipe, c_pipe = runs[True]
+    assert t_pipe._pipeline_epochs_eligible()
+    assert [s for s, _ in c_sync.logs] == [s for s, _ in c_pipe.logs]
+    for (_, a), (_, b) in zip(c_sync.logs, c_pipe.logs):
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == b[k], k
+    for (pa, pb) in [(t_sync.state.params, t_pipe.state.params),
+                     # model.params refreshed at the last epoch: readable
+                     # (not donated-deleted) and equal to the final state
+                     (t_pipe.model.params, t_pipe.state.params)]:
+        ja, jb = jax.tree.leaves(pa), jax.tree.leaves(pb)
+        assert all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(ja, jb))
+
+
 def test_pipeline_auto_disabled_by_custom_epoch_end_callback(model, dataset,
                                                              tmp_path):
     """A user callback overriding on_epoch_end could observe a later
