@@ -588,6 +588,69 @@ class BaseTrainer:
         self._cached_train_fns[key] = fn
         return fn
 
+    def _compiled_cached_train_block(self, n_epochs: int):
+        """One dispatch running ``n_epochs`` WHOLE train epochs as a
+        two-level ``lax.scan`` (outer over epochs, inner over the
+        epoch's batches), emitting one packed scalar vector per epoch.
+        With the per-epoch launch already fused to one (chunk + in-graph
+        pack), this drops launches BELOW one per epoch: a depth-8 block
+        costs one launch + one plan upload + one (E, 1+k) fetch — on the
+        tunneled setup each of those is a serialized ~30-45 ms host
+        round trip, so per-epoch overhead falls to ~1/8th of it. Only
+        used by the pipelined loop in the snapshot-skip mode (no eval
+        set, no best-model tracking, no update hook) where no host
+        decision is needed between epochs."""
+        key = ("block", n_epochs)
+        if key in self._cached_train_fns:
+            return self._cached_train_fns[key]
+        step_body = self._build_step_body()
+        gather = self._gather_fn()
+        weights_for = self._in_graph_weights(self.train_loader)
+        n_batches = len(self.train_loader)
+        dataset_size = float(len(self.train_dataset))
+
+        def block_fn(state, cache, idx_block, first_epoch):
+            epochs_vec = first_epoch + jnp.arange(n_epochs,
+                                                  dtype=jnp.float32)
+
+            def epoch_body(state, per_epoch):
+                idx_mat, epoch = per_epoch
+
+                def body(state, b):
+                    info = StepInfo(
+                        epoch=epoch,
+                        batch_ratio=b.astype(jnp.float32) / n_batches,
+                        dataset_size=jnp.asarray(dataset_size, jnp.float32),
+                    )
+                    batch = gather(cache, idx_mat, weights_for(b), b)
+                    return step_body(state, batch, info)
+
+                state, outs = jax.lax.scan(
+                    body, state, jnp.arange(n_batches, dtype=jnp.int32))
+                sums = jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
+                return state, (_packed_scalars_in_graph(sums), sums)
+
+            state, (packed_rows, sums) = jax.lax.scan(
+                epoch_body, state, (idx_block, epochs_vec))
+            # sums (stacked over epochs) is returned only for its pytree
+            # STRUCTURE (the metric key order of the packed columns);
+            # the flush fetches packed_rows alone.
+            return state, packed_rows, sums
+
+        if self.mesh.size == 1:
+            fn = jax.jit(block_fn, donate_argnums=(0,))
+        else:
+            rep = replicated_sharding(self.mesh)
+            state_sh = self._state_sharding(rep)
+            cache_sh = jax.tree.map(lambda x: x.sharding, self._train_cache)
+            fn = jax.jit(
+                block_fn, donate_argnums=(0,),
+                in_shardings=(state_sh, cache_sh, rep, rep),
+                out_shardings=(state_sh, rep, rep),
+            )
+        self._cached_train_fns[key] = fn
+        return fn
+
     def _compiled_cached_eval_chunk(self, n_steps: int):
         key = n_steps
         if key in self._cached_eval_fns:
@@ -754,6 +817,97 @@ class BaseTrainer:
         self._evict_epoch_plan("eval", self.eval_loader, epoch)
         fused = (packed, sorted(metric_sums)) if n_chunks == 1 else None
         return loss_sum_total, metric_sums, fused
+
+    # ------------------------------------------ fused whole-epoch blocks
+    def _fused_epoch_blocks_eligible(self) -> bool:
+        """Whole-epoch-block fusion (``_compiled_cached_train_block``)
+        needs: the device cache, full-epoch chunks, and NO per-epoch
+        host decision — no eval pass interleaving, no best-model
+        snapshot, no update hook (``_needs_epoch_param_snapshot``
+        covers the last three; eval None is implied by it but kept
+        explicit)."""
+        return (self._train_cache is not None
+                and self.eval_dataset is None
+                and not self._needs_epoch_param_snapshot
+                and self.training_config.steps_per_execution
+                >= len(self.train_loader))
+
+    def _run_cached_train_epoch_block(self, epochs):
+        """Dispatch ``len(epochs)`` whole epochs as ONE launch. Returns
+        ``(packed_rows, keys)``: a device (E, 1+n_metrics) scalar matrix
+        (one row per epoch, fetched later in one transfer) and the
+        metric key order of its columns."""
+        loader = self.train_loader
+        mats = []
+        for e in epochs:
+            loader.set_epoch(e)
+            m, _ = loader.epoch_plan()
+            mats.append(m)
+        idx_block = self._cache_put(np.stack(mats))
+        fn = self._compiled_cached_train_block(len(epochs))
+        self.state, packed_rows, sums = fn(
+            self.state, self._train_cache, idx_block,
+            np.float32(epochs[0]))
+        return packed_rows, sorted(sums["metrics"])
+
+    def _finalize_epoch_block_host(self, epochs, packed_rows, keys,
+                                   file_logger=None):
+        vals = np.asarray(packed_rows)  # ONE fetch for the whole block
+        n_batches = len(self.train_loader)
+        n_data = len(self.train_dataset)
+        for e, row in zip(epochs, vals):
+            loss = float(row[0]) / n_data
+            metrics = {k: float(row[1 + j]) / n_batches
+                       for j, k in enumerate(keys)}
+            self._finalize_epoch_host(e, loss, metrics, None, None, None,
+                                      file_logger=file_logger)
+
+    def _train_fused_epoch_blocks(self, file_logger=None):
+        """Pipelined loop over whole-epoch blocks: one launch + one plan
+        upload per block of up to ``pipeline_depth`` epochs, finalized
+        lag-1 (block N's scalars fetch while block N+1 computes). Blocks
+        end early at checkpoint/prediction epochs, which finalize
+        synchronously with refreshed ``model.params``."""
+        cfg = self.training_config
+        depth = max(1, cfg.pipeline_depth)
+        n_batches = len(self.train_loader)
+        last = cfg.num_epochs
+        blocks, cur = [], []
+        for e in range(self.trained_epochs + 1, last + 1):
+            cur.append(e)
+            if (len(cur) >= depth or self._epoch_needs_sync_finalize(e)
+                    or e == last):
+                blocks.append(cur)
+                cur = []
+        prev = None
+        for block in blocks:
+            for e in block:
+                self.callback_handler.on_epoch_begin(
+                    cfg, epoch=e, train_loader=self.train_loader,
+                    eval_loader=self.eval_loader)
+                self.best_train_loss, self.best_eval_loss = (
+                    self.prepare_train_step(e, self.best_train_loss,
+                                            self.best_eval_loss))
+                self.callback_handler.on_train_step_begin(
+                    cfg, train_loader=self.train_loader, epoch=e)
+            packed_rows, keys = self._run_cached_train_epoch_block(block)
+            for _ in range(len(block) * n_batches):
+                self.callback_handler.on_train_step_end(cfg)
+            if prev is not None:
+                self._finalize_epoch_block_host(*prev,
+                                                file_logger=file_logger)
+                prev = None
+            if (self._epoch_needs_sync_finalize(block[-1])
+                    or block[-1] == last):
+                # predict / checkpoint / final save read fresh params
+                self.model.params = self._tree_copy(self.state.params)
+                self._finalize_epoch_block_host(block, packed_rows, keys,
+                                                file_logger=file_logger)
+            else:
+                prev = (block, packed_rows, keys)
+        if prev is not None:  # pragma: no cover - last block always syncs
+            self.model.params = self._tree_copy(self.state.params)
+            self._finalize_epoch_block_host(*prev, file_logger=file_logger)
 
     def train_step(self, epoch: int):
         """One epoch over the train loader; returns (epoch_loss, metrics)."""
@@ -1090,6 +1244,12 @@ class BaseTrainer:
         # and pays ONE batched scalar fetch (and one block plan upload)
         # per run of E epochs — amortizing the fixed latency to ~E-th.
         pipelined = self._pipeline_epochs_eligible()
+        if pipelined and self._fused_epoch_blocks_eligible():
+            # Whole-epoch-block fusion: one launch per pipeline_depth
+            # epochs (see _compiled_cached_train_block). Same logged
+            # values, same final state as the per-epoch loop.
+            self._train_fused_epoch_blocks(file_logger)
+            return self._train_tail()
         depth = max(1, self.training_config.pipeline_depth)
         pending = []
         for epoch in range(self.trained_epochs + 1,
@@ -1141,7 +1301,11 @@ class BaseTrainer:
 
         if pending:
             self._finalize_epochs(pending, file_logger=file_logger)
+        self._train_tail()
 
+    def _train_tail(self):
+        """Shared end of ``train()``: final-model save, checkpoint
+        barrier, end callbacks."""
         final_dir = os.path.join(self.training_dir, "final_model")
         if self.is_main_process:
             self.save_model(dir_path=final_dir)

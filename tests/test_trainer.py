@@ -670,6 +670,104 @@ def test_pipelined_snapshot_skip_mode_matches_synchronous(dataset, tmp_path,
                    for x, y in zip(ja, jb))
 
 
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_fused_epoch_blocks_match_synchronous(dataset, tmp_path, n_devices):
+    """Whole-epoch-block fusion (cache + steps_per_execution covering
+    the epoch + snapshot-skip mode): one launch per pipeline_depth
+    epochs must reproduce the synchronous loop's logged metrics and
+    final params bit-identically, including partial trailing blocks
+    (5 epochs, depth 2 -> blocks [1,2][3,4][5]) — on a single device
+    AND over an 8-way DP mesh."""
+    from multivae_tpu.trainers.base.callbacks import TrainingCallback
+
+    class Collector(TrainingCallback):
+        def __init__(self):
+            self.logs = []
+
+        def on_log(self, training_config, logs, **kwargs):
+            self.logs.append((kwargs.get("global_step"), dict(logs)))
+
+    runs = {}
+    for pipelined in (False, True):
+        model = MVTCAE(MVTCAEConfig(
+            n_modalities=2, latent_dim=4,
+            input_dims={"mod1": (2,), "mod2": (3,)},
+        ), seed=0)
+        collector = Collector()
+        cfg = small_config(tmp_path / f"blk{pipelined}{n_devices}",
+                           num_epochs=5, learning_rate=1e-2,
+                           n_devices=n_devices,
+                           per_device_train_batch_size=8 // n_devices,
+                           pipeline_epochs=pipelined, pipeline_depth=2,
+                           cache_on_device=True, steps_per_execution=100)
+        trainer = BaseTrainer(model, dataset, eval_dataset=None,
+                              training_config=cfg, callbacks=[collector])
+        if pipelined:
+            assert trainer._fused_epoch_blocks_eligible()
+        trainer.train()
+        runs[pipelined] = (trainer, collector)
+
+    t_sync, c_sync = runs[False]
+    t_blk, c_blk = runs[True]
+    assert ("block", 2) in t_blk._cached_train_fns  # the fused path ran
+    assert [s for s, _ in c_sync.logs] == [s for s, _ in c_blk.logs]
+    for (_, a), (_, b) in zip(c_sync.logs, c_blk.logs):
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == b[k], k
+    for (pa, pb) in [(t_sync.state.params, t_blk.state.params),
+                     (t_blk.model.params, t_blk.state.params)]:
+        ja, jb = jax.tree.leaves(pa), jax.tree.leaves(pb)
+        assert all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(ja, jb))
+
+
+def test_fused_epoch_blocks_split_at_checkpoint_epochs(dataset, tmp_path):
+    """steps_saving epochs end their block and finalize synchronously:
+    checkpoints exist, params refresh, and a resumed trainer reproduces
+    the uninterrupted run."""
+    def build(tag, **kw):
+        model = MVTCAE(MVTCAEConfig(
+            n_modalities=2, latent_dim=4,
+            input_dims={"mod1": (2,), "mod2": (3,)},
+        ), seed=0)
+        cfg = small_config(tmp_path / tag, num_epochs=5,
+                           learning_rate=1e-2, steps_saving=3,
+                           cache_on_device=True, steps_per_execution=100,
+                           pipeline_depth=4, **kw)
+        return model, BaseTrainer(model, dataset, eval_dataset=None,
+                                  training_config=cfg)
+
+    _, t = build("fused")
+    assert t._fused_epoch_blocks_eligible()
+    t.train()
+    ckpt = os.path.join(t.training_dir, "checkpoint_epoch_3")
+    assert os.path.isdir(ckpt)
+
+    _, t_sync = build("sync", pipeline_epochs=False)
+    t_sync.train()
+    ja = jax.tree.leaves(t.state.params)
+    jb = jax.tree.leaves(t_sync.state.params)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(ja, jb))
+
+    # resume from the epoch-3 checkpoint and finish: same final params
+    model_r = MVTCAE(MVTCAEConfig(
+        n_modalities=2, latent_dim=4,
+        input_dims={"mod1": (2,), "mod2": (3,)},
+    ), seed=0)
+    cfg_r = small_config(tmp_path / "resumed", num_epochs=5,
+                         learning_rate=1e-2, steps_saving=3,
+                         cache_on_device=True, steps_per_execution=100,
+                         pipeline_depth=4)
+    t_res = BaseTrainer(model_r, dataset, eval_dataset=None,
+                        training_config=cfg_r, checkpoint=ckpt)
+    t_res.train()
+    jc = jax.tree.leaves(t_res.state.params)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(ja, jc))
+
+
 def test_pipeline_auto_disabled_by_custom_epoch_end_callback(model, dataset,
                                                              tmp_path):
     """A user callback overriding on_epoch_end could observe a later
