@@ -535,21 +535,20 @@ class BaseTrainer:
 
         return weights_for
 
-    def _compiled_cached_train_chunk(self, n_steps: int):
-        """One dispatch running ``n_steps`` train steps as a ``lax.scan``
-        over on-device-gathered batches. Per dispatch the host sends only
-        the scalars (start, epoch); the index plan is uploaded once per
-        epoch and the weight rows are derived in-graph."""
-        key = n_steps
-        if key in self._cached_train_fns:
-            return self._cached_train_fns[key]
+    def _train_window_fn(self, n_steps: int):
+        """The UNJITTED body shared by the cached chunk and epoch-block
+        programs: scan ``n_steps`` train steps from plan row ``start``,
+        returning ``(state, sums, packed)`` — the packed scalar vector
+        is emitted in-graph (``_packed_scalars_in_graph``) so callers
+        need no separate pack dispatch (on the tunneled setup every
+        launch costs a serialized host round trip)."""
         step_body = self._build_step_body()
         gather = self._gather_fn()
         weights_for = self._in_graph_weights(self.train_loader)
         n_batches = len(self.train_loader)
         dataset_size = float(len(self.train_dataset))
 
-        def chunk_fn(state, cache, idx_mat, start, epoch):
+        def window_fn(state, cache, idx_mat, start, epoch):
             def body(state, i):
                 b = start + i
                 info = StepInfo(
@@ -564,12 +563,19 @@ class BaseTrainer:
             state, outs = jax.lax.scan(body, state,
                                        jnp.arange(n_steps, dtype=jnp.int32))
             sums = jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
-            # Also emit the epoch's PACKED scalar vector in-graph: when
-            # the epoch runs as one chunk this replaces the separate
-            # `_pack_epoch_scalars` dispatch — on the tunneled setup
-            # every launch costs a serialized host round trip, so one
-            # launch per epoch instead of two is a direct e2e win.
             return state, sums, _packed_scalars_in_graph(sums)
+
+        return window_fn
+
+    def _compiled_cached_train_chunk(self, n_steps: int):
+        """One dispatch running ``n_steps`` train steps as a ``lax.scan``
+        over on-device-gathered batches. Per dispatch the host sends only
+        the scalars (start, epoch); the index plan is uploaded once per
+        epoch and the weight rows are derived in-graph."""
+        key = n_steps
+        if key in self._cached_train_fns:
+            return self._cached_train_fns[key]
+        chunk_fn = self._train_window_fn(n_steps)
 
         if self.mesh.size == 1:
             fn = jax.jit(chunk_fn, donate_argnums=(0,))
@@ -603,11 +609,7 @@ class BaseTrainer:
         key = ("block", n_epochs)
         if key in self._cached_train_fns:
             return self._cached_train_fns[key]
-        step_body = self._build_step_body()
-        gather = self._gather_fn()
-        weights_for = self._in_graph_weights(self.train_loader)
-        n_batches = len(self.train_loader)
-        dataset_size = float(len(self.train_dataset))
+        window_fn = self._train_window_fn(len(self.train_loader))
 
         def block_fn(state, cache, idx_block, first_epoch):
             epochs_vec = first_epoch + jnp.arange(n_epochs,
@@ -615,20 +617,9 @@ class BaseTrainer:
 
             def epoch_body(state, per_epoch):
                 idx_mat, epoch = per_epoch
-
-                def body(state, b):
-                    info = StepInfo(
-                        epoch=epoch,
-                        batch_ratio=b.astype(jnp.float32) / n_batches,
-                        dataset_size=jnp.asarray(dataset_size, jnp.float32),
-                    )
-                    batch = gather(cache, idx_mat, weights_for(b), b)
-                    return step_body(state, batch, info)
-
-                state, outs = jax.lax.scan(
-                    body, state, jnp.arange(n_batches, dtype=jnp.int32))
-                sums = jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
-                return state, (_packed_scalars_in_graph(sums), sums)
+                state, sums, packed = window_fn(
+                    state, cache, idx_mat, jnp.int32(0), epoch)
+                return state, (packed, sums)
 
             state, (packed_rows, sums) = jax.lax.scan(
                 epoch_body, state, (idx_block, epochs_vec))
@@ -825,25 +816,45 @@ class BaseTrainer:
         host decision — no eval pass interleaving, no best-model
         snapshot, no update hook (``_needs_epoch_param_snapshot``
         covers the last three; eval None is implied by it but kept
-        explicit)."""
+        explicit). Each distinct block length is its own whole-model
+        XLA compile (expensive on this box), so short runs — under two
+        pipeline depths of remaining epochs — stay on the per-epoch
+        program, whose single chunk compile they need anyway."""
+        cfg = self.training_config
+        remaining = cfg.num_epochs - self.trained_epochs
         return (self._train_cache is not None
                 and self.eval_dataset is None
                 and not self._needs_epoch_param_snapshot
-                and self.training_config.steps_per_execution
-                >= len(self.train_loader))
+                and cfg.steps_per_execution >= len(self.train_loader)
+                and remaining >= 2 * max(1, cfg.pipeline_depth))
+
+    def _upload_epoch_plan_block(self, loader, epochs):
+        """Stacked (E, n_batches, B) device plan for a fused epoch
+        block. shuffle=False loaders reuse ONE uploaded stack per block
+        length for the whole run (every epoch's plan is identical);
+        shuffled blocks are single-use and uploaded fresh."""
+        if not loader.shuffle:
+            key = ("train_block", len(epochs))
+            dev = self._plan_cache.get(key)
+            if dev is None:
+                loader.set_epoch(epochs[0])
+                m, _ = loader.epoch_plan()
+                dev = self._cache_put(np.stack([m] * len(epochs)))
+                self._plan_cache[key] = dev
+            return dev
+        mats = []
+        for e in epochs:
+            loader.set_epoch(e)
+            m, _ = loader.epoch_plan()
+            mats.append(m)
+        return self._cache_put(np.stack(mats))
 
     def _run_cached_train_epoch_block(self, epochs):
         """Dispatch ``len(epochs)`` whole epochs as ONE launch. Returns
         ``(packed_rows, keys)``: a device (E, 1+n_metrics) scalar matrix
         (one row per epoch, fetched later in one transfer) and the
         metric key order of its columns."""
-        loader = self.train_loader
-        mats = []
-        for e in epochs:
-            loader.set_epoch(e)
-            m, _ = loader.epoch_plan()
-            mats.append(m)
-        idx_block = self._cache_put(np.stack(mats))
+        idx_block = self._upload_epoch_plan_block(self.train_loader, epochs)
         fn = self._compiled_cached_train_block(len(epochs))
         self.state, packed_rows, sums = fn(
             self.state, self._train_cache, idx_block,
@@ -882,17 +893,22 @@ class BaseTrainer:
         prev = None
         for block in blocks:
             for e in block:
-                self.callback_handler.on_epoch_begin(
-                    cfg, epoch=e, train_loader=self.train_loader,
-                    eval_loader=self.eval_loader)
                 self.best_train_loss, self.best_eval_loss = (
                     self.prepare_train_step(e, self.best_train_loss,
                                             self.best_eval_loss))
+            packed_rows, keys = self._run_cached_train_epoch_block(block)
+            # Display callbacks run their normal PER-EPOCH cycle (begin,
+            # step ends) after the block dispatch — each progress bar
+            # fills its own n_batches, in epoch order; only timing
+            # shifts (as with all pipelined finalization).
+            for e in block:
+                self.callback_handler.on_epoch_begin(
+                    cfg, epoch=e, train_loader=self.train_loader,
+                    eval_loader=self.eval_loader)
                 self.callback_handler.on_train_step_begin(
                     cfg, train_loader=self.train_loader, epoch=e)
-            packed_rows, keys = self._run_cached_train_epoch_block(block)
-            for _ in range(len(block) * n_batches):
-                self.callback_handler.on_train_step_end(cfg)
+                for _ in range(n_batches):
+                    self.callback_handler.on_train_step_end(cfg)
             if prev is not None:
                 self._finalize_epoch_block_host(*prev,
                                                 file_logger=file_logger)

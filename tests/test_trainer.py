@@ -734,7 +734,7 @@ def test_fused_epoch_blocks_split_at_checkpoint_epochs(dataset, tmp_path):
         cfg = small_config(tmp_path / tag, num_epochs=5,
                            learning_rate=1e-2, steps_saving=3,
                            cache_on_device=True, steps_per_execution=100,
-                           pipeline_depth=4, **kw)
+                           pipeline_depth=2, **kw)
         return model, BaseTrainer(model, dataset, eval_dataset=None,
                                   training_config=cfg)
 
@@ -759,7 +759,7 @@ def test_fused_epoch_blocks_split_at_checkpoint_epochs(dataset, tmp_path):
     cfg_r = small_config(tmp_path / "resumed", num_epochs=5,
                          learning_rate=1e-2, steps_saving=3,
                          cache_on_device=True, steps_per_execution=100,
-                         pipeline_depth=4)
+                         pipeline_depth=2)
     t_res = BaseTrainer(model_r, dataset, eval_dataset=None,
                         training_config=cfg_r, checkpoint=ckpt)
     t_res.train()
