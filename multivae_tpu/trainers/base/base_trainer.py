@@ -623,10 +623,11 @@ class BaseTrainer:
 
             state, (packed_rows, sums) = jax.lax.scan(
                 epoch_body, state, (idx_block, epochs_vec))
-            # sums (stacked over epochs) is returned only for its pytree
-            # STRUCTURE (the metric key order of the packed columns);
-            # the flush fetches packed_rows alone.
-            return state, packed_rows, sums
+            # Only the pytree STRUCTURE of sums is consumed (the metric
+            # key order of the packed columns) — return the last epoch's
+            # row so the launch creates n_metrics output buffers, not
+            # n_epochs x n_metrics (the flush fetches packed_rows alone).
+            return state, packed_rows, jax.tree.map(lambda x: x[-1], sums)
 
         if self.mesh.size == 1:
             fn = jax.jit(block_fn, donate_argnums=(0,))
