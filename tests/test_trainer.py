@@ -670,14 +670,16 @@ def test_pipelined_snapshot_skip_mode_matches_synchronous(dataset, tmp_path,
                    for x, y in zip(ja, jb))
 
 
-@pytest.mark.parametrize("n_devices", [1, 8])
-def test_fused_epoch_blocks_match_synchronous(dataset, tmp_path, n_devices):
+@pytest.mark.parametrize("n_devices,layout", [(1, "auto"), (8, "auto"),
+                                              (8, "sharded")])
+def test_fused_epoch_blocks_match_synchronous(dataset, tmp_path, n_devices,
+                                              layout):
     """Whole-epoch-block fusion (cache + steps_per_execution covering
     the epoch + snapshot-skip mode): one launch per pipeline_depth
     epochs must reproduce the synchronous loop's logged metrics and
     final params bit-identically, including partial trailing blocks
-    (5 epochs, depth 2 -> blocks [1,2][3,4][5]) — on a single device
-    AND over an 8-way DP mesh."""
+    (5 epochs, depth 2 -> blocks [1,2][3,4][5]) — on a single device,
+    over an 8-way DP mesh, and over a row-SHARDED dataset cache."""
     from multivae_tpu.trainers.base.callbacks import TrainingCallback
 
     class Collector(TrainingCallback):
@@ -694,12 +696,13 @@ def test_fused_epoch_blocks_match_synchronous(dataset, tmp_path, n_devices):
             input_dims={"mod1": (2,), "mod2": (3,)},
         ), seed=0)
         collector = Collector()
-        cfg = small_config(tmp_path / f"blk{pipelined}{n_devices}",
+        cfg = small_config(tmp_path / f"blk{pipelined}{n_devices}{layout}",
                            num_epochs=5, learning_rate=1e-2,
                            n_devices=n_devices,
                            per_device_train_batch_size=8 // n_devices,
                            pipeline_epochs=pipelined, pipeline_depth=2,
-                           cache_on_device=True, steps_per_execution=100)
+                           cache_on_device=True, steps_per_execution=100,
+                           device_cache_layout=layout)
         trainer = BaseTrainer(model, dataset, eval_dataset=None,
                               training_config=cfg, callbacks=[collector])
         if pipelined:
