@@ -194,6 +194,12 @@ class StepTimingCallback(TrainingCallback):
 
     New capability vs the reference (SURVEY §5.1: the reference has no
     profiling hooks). The timings are injected into the logged metrics.
+
+    Note: under ``pipeline_epochs``/fused epoch blocks the step hooks
+    fire around DISPATCH, which runs ahead of the device — per-epoch
+    times then measure dispatch, not device work. For exact attribution
+    use ``JaxProfilerCallback`` (its custom ``on_epoch_end`` auto-
+    disables pipelining) or set ``pipeline_epochs=False``.
     """
 
     def __init__(self):
