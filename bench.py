@@ -717,12 +717,42 @@ def bench_mopoe(n_steps=15):
     return (time.perf_counter() - t0) / n_steps, flops
 
 
+def _backend_alive(timeout_s=900):
+    """Probe the accelerator backend in a SUBPROCESS with a hard
+    timeout. A down/wedged TPU tunnel makes the first device op HANG
+    for tens of minutes (observed: ~50 min before erroring UNAVAILABLE)
+    — without this guard a dead backend would hang the whole bench run
+    instead of degrading to a null-row JSON line."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "x = (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
+            "print('backend-ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return r.returncode == 0 and "backend-ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     """Run every workload, isolating failures: a single bench crashing
     (OOM, transient backend error) must not cost the round its ENTIRE
     result line — failed rows report null and the rest still print."""
     import sys
     import traceback
+
+    if not _backend_alive():
+        print("backend probe failed/timed out; emitting null row",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "mvtcae_train_steps_per_sec", "value": None,
+            "unit": "steps/s (batch=256, latent=512, MLP-512, 2 modalities)",
+            "vs_baseline": None, "backend_unavailable": True,
+        }))
+        return
 
     def run(fn, *a, **kw):
         try:
