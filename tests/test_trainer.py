@@ -771,6 +771,49 @@ def test_fused_epoch_blocks_split_at_checkpoint_epochs(dataset, tmp_path):
                for x, y in zip(ja, jc))
 
 
+@pytest.mark.parametrize("num_epochs,depth,steps_saving,bs", [
+    (4, 2, 1, 8),    # every epoch sync-finalizes -> all blocks length 1
+    (8, 4, None, 8),  # exact multiple of depth -> [4, 4]
+    (4, 2, None, 64),  # batch covers the dataset -> 1-step epochs
+    (7, 3, 2, 8),    # sync splits interleave depth splits -> [1][2][2][2]
+])
+def test_fused_epoch_blocks_edge_partitions(dataset, tmp_path, num_epochs,
+                                            depth, steps_saving, bs):
+    """Block-partition edge cases (every-epoch checkpoints, exact
+    multiples, single-batch epochs, interleaved sync splits) all
+    reproduce the synchronous loop's final params to fp32 roundoff
+    (the two-level-scan program may reassociate reductions vs the
+    single-epoch program — measured <=3e-6 abs on the wrap-padded
+    single-batch config, exactly the cached-scan caveat in CLAUDE.md;
+    the main fused tests pin exact equality on the configs where the
+    programs coincide)."""
+    def run(pipelined):
+        model = MVTCAE(MVTCAEConfig(
+            n_modalities=2, latent_dim=4,
+            input_dims={"mod1": (2,), "mod2": (3,)},
+        ), seed=0)
+        cfg = small_config(
+            tmp_path / f"edge{pipelined}{num_epochs}{depth}{steps_saving}",
+            num_epochs=num_epochs, learning_rate=1e-2,
+            per_device_train_batch_size=bs, steps_saving=steps_saving,
+            pipeline_epochs=pipelined, pipeline_depth=depth,
+            cache_on_device=True, steps_per_execution=100)
+        t = BaseTrainer(model, dataset, eval_dataset=None,
+                        training_config=cfg)
+        if pipelined:
+            assert t._fused_epoch_blocks_eligible()
+        t.train()
+        return t
+
+    t_sync = run(False)
+    t_blk = run(True)
+    ja = jax.tree.leaves(t_sync.state.params)
+    jb = jax.tree.leaves(t_blk.state.params)
+    for x, y in zip(ja, jb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=0, atol=1e-5)
+
+
 def test_pipeline_auto_disabled_by_custom_epoch_end_callback(model, dataset,
                                                              tmp_path):
     """A user callback overriding on_epoch_end could observe a later
