@@ -131,13 +131,23 @@ class DeviceCachedLoader:
 
     def __iter__(self):
         idx_rows, w_rows = self.loader.epoch_plan()
-        for idx, w in zip(idx_rows, w_rows):
-            batch = self._gather(self.cache, jnp.asarray(idx),
-                                 jnp.asarray(w))
+        n = len(idx_rows)
+
+        def dispatch(i):
+            return self._gather(self.cache, jnp.asarray(idx_rows[i]),
+                                jnp.asarray(w_rows[i]))
+
+        # Depth-1 dispatch prefetch: enqueue batch i+1's gather before
+        # yielding batch i, so its launch round trip rides under the
+        # consumer's metric compute instead of serializing after it.
+        pending = dispatch(0) if n else None
+        for i in range(n):
+            batch = pending
+            pending = dispatch(i + 1) if i + 1 < n else None
             yield batch.replace(
-                weights=np.asarray(w, np.float32),
+                weights=np.asarray(w_rows[i], np.float32),
                 labels=(None if self._labels_host is None
-                        else self._labels_host[np.asarray(idx)]))
+                        else self._labels_host[np.asarray(idx_rows[i])]))
 
 
 def estimate_dataset_nbytes(dataset) -> int:
