@@ -99,8 +99,19 @@ def masked_poe(mus, log_vars, mask=None, prior_expert: bool = False,
         total_precision = total_precision + 1.0 / (1.0 + eps)
         # prior mean is zero: no contribution to weighted_mu
     # Guard: if every expert is masked out and there is no prior expert the
-    # posterior is undefined; clamp so downstream masking sees finite values.
-    safe_precision = jnp.maximum(total_precision, 1e-20)
+    # posterior is undefined. Fall back to the prior N(0, I) for those rows
+    # (possible on incomplete data where a sample has NO available
+    # modality): the former 1e-20-precision clamp produced log_var ~ +46,
+    # whose exp(23)-scale samples overflow decoder intermediates and turn
+    # the WHOLE batch's gradient to NaN in the backward pass even under
+    # zero cotangents. Rows with >= 1 live expert are bit-identical.
+    if mask is not None and not prior_expert:
+        dead = total_precision <= 0.0
+        safe_precision = jnp.where(
+            dead, 1.0, jnp.maximum(total_precision, 1e-20)
+        )
+    else:
+        safe_precision = jnp.maximum(total_precision, 1e-20)
     joint_mu = weighted_mu / safe_precision
     joint_log_var = -jnp.log(safe_precision)
     return joint_mu, joint_log_var
@@ -129,6 +140,16 @@ def stable_poe(mus, log_vars, mask=None):
     ln_var = -jax.nn.logsumexp(ln_inv_vars, axis=0)
     weights = jnp.exp(ln_inv_vars + ln_var)  # normalized precisions
     joint_mu = jnp.sum(weights * mus, axis=0)
+    if mask is not None:
+        # rows where EVERY expert is masked fall back to the prior
+        # N(0, I) (see ``masked_poe``): otherwise ln_var ~ +1e30 and the
+        # exp() downstream (sampling std, KL) overflows to inf, whose
+        # backward poisons the whole batch's gradient with NaN. Callers
+        # that append an always-on prior expert (MVAE, DMVAE) never hit
+        # this branch and are unchanged.
+        any_avail = jnp.max(mask, axis=0) > 0
+        joint_mu = jnp.where(any_avail[..., None], joint_mu, 0.0)
+        ln_var = jnp.where(any_avail[..., None], ln_var, 0.0)
     return joint_mu, ln_var
 
 

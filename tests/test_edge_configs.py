@@ -9,6 +9,8 @@ from model_test_utils import DIMS, make_dataset
 from multivae_tpu.models import (
     CMVAE,
     CMVAEConfig,
+    CRMVAE,
+    CRMVAEConfig,
     DMVAE,
     DMVAEConfig,
     JMVAE,
@@ -88,3 +90,69 @@ def test_edge_config_forward_and_encode(name, build):
 
     emb = model.encode(ds[:], cond_mod=mods[0])
     assert np.isfinite(np.asarray(emb.z)).all(), name
+
+
+# Families that consume masked incomplete batches. MHVAE is covered in
+# ``test_nexus_mhvae.py`` (conv-latent config).
+ALL_MISSING_CASES = [
+    ("mvae", lambda: MVAE(MVAEConfig(k=1, warmup=2, **BASE))),
+    ("mopoe", lambda: MoPoE(MoPoEConfig(**BASE))),
+    ("crmvae", lambda: CRMVAE(CRMVAEConfig(**BASE))),
+    ("dmvae", lambda: DMVAE(DMVAEConfig(
+        modalities_specific_dim={m: 2 for m in DIMS}, **BASE))),
+    ("mvtcae", lambda: MVTCAE(MVTCAEConfig(**BASE))),
+    ("jmvae", lambda: JMVAE(JMVAEConfig(**BASE))),
+    ("mmvae", lambda: MMVAE(MMVAEConfig(K=2, **BASE))),
+    ("mmvaeplus", lambda: MMVAEPlus(MMVAEPlusConfig(
+        K=2, modalities_specific_dim=2, **BASE))),
+    ("nexus", lambda: Nexus(NexusConfig(
+        msg_dim=3, modalities_specific_dim={m: 2 for m in DIMS}, **BASE))),
+    ("cmvae", lambda: CMVAE(CMVAEConfig(
+        K=2, modalities_specific_dim=2, number_of_clusters=2, **BASE))),
+]
+
+
+@pytest.mark.parametrize("name,build", ALL_MISSING_CASES,
+                         ids=[n for n, _ in ALL_MISSING_CASES])
+def test_all_missing_row_keeps_loss_and_grads_finite(name, build):
+    """A sample with NO available modality must not poison the batch.
+
+    Regression: ``masked_poe``/``stable_poe`` used to give all-masked rows
+    a ~1e-20 total precision, i.e. log_var ~ +46; the exp()-scale samples
+    overflowed decoder intermediates and the backward pass turned the
+    WHOLE batch's gradient to NaN. All-masked rows now fall back to the
+    prior N(0, I). The reference never exercises this (its datasets keep
+    >= 1 modality per sample), so graceful degradation is the contract.
+    """
+    import jax
+
+    from multivae_tpu.data import IncompleteDataset
+    from multivae_tpu.data.batch import as_batch
+    from multivae_tpu.models.base.step import StepInfo
+
+    n = 6
+    rng = np.random.default_rng(3)
+    data = {m: rng.normal(size=(n, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    # row 0 has NOTHING; remaining rows mix availability
+    masks = {
+        "mod1": np.array([False, True, False, True, True, False]),
+        "mod2": np.array([False, True, True, False, True, True]),
+        "mod3": np.array([False, False, True, True, False, True]),
+    }
+    ds = IncompleteDataset(data, masks=masks)
+    batch = as_batch(ds[:])
+    model = build()
+    info = StepInfo.create(epoch=2, dataset_size=n)
+
+    def loss_fn(p):
+        return model.loss_function(p, batch, jax.random.key(11), info).loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(model.params)
+    assert np.isfinite(float(loss)), (name, float(loss))
+    # a plausible magnitude, not the 1e20-scale degenerate-posterior KL
+    assert abs(float(loss)) < 1e9, (name, float(loss))
+    bad = [k for k, v in
+           jax.tree_util.tree_flatten_with_path(grads)[0]
+           if not bool(np.isfinite(np.asarray(v)).all())]
+    assert not bad, (name, bad[:5])
