@@ -202,6 +202,7 @@ class BaseTrainer:
         # None means "no best snapshot yet": fall back to the live model
         # params (reference initializes _best_model = the live model).
         self._best_params = None
+        self._block_best = None  # fused-block in-graph (loss, params) carry
         self.start_keep_best_epoch = getattr(model, "start_keep_best_epoch", 0)
 
         self._train_step_fn = None
@@ -603,13 +604,64 @@ class BaseTrainer:
         costs one launch + one plan upload + one (E, 1+k) fetch — on the
         tunneled setup each of those is a serialized ~30-45 ms host
         round trip, so per-epoch overhead falls to ~1/8th of it. Only
-        used by the pipelined loop in the snapshot-skip mode (no eval
-        set, no best-model tracking, no update hook) where no host
-        decision is needed between epochs."""
+        used by the pipelined loop (no eval set, no update hook) where
+        no host decision is needed between epochs.
+
+        When ``_block_best_tracking`` is on (``keep_best_on_train`` or a
+        ``start_keep_best_epoch`` warmup window, no eval set), the block
+        carries ``(best_train_loss, best_params)`` IN-GRAPH and selects
+        the snapshot with a ``where`` at each epoch boundary — the exact
+        reference condition (``base_trainer.py:501-522``) evaluated in
+        f32 on device — so best-model configs keep the one-launch-per-
+        block rate instead of a per-epoch snapshot launch. Each packed
+        row gains a trailing 0/1 "took" column the host replays for the
+        reference's log lines and loss bookkeeping."""
         key = ("block", n_epochs)
         if key in self._cached_train_fns:
             return self._cached_train_fns[key]
         window_fn = self._train_window_fn(len(self.train_loader))
+        track_best = self._block_best_tracking
+        kbt = bool(self.training_config.keep_best_on_train)
+        warm_until = float(self.start_keep_best_epoch)
+        n_data = float(len(self.train_dataset))
+
+        def epoch_tail(best, state, epoch, packed):
+            """Mirror of _finalize_epoch_host's tracking branch (no eval
+            set): warmup epochs always snap (loss untouched); after the
+            window, keep_best_on_train snaps on strict improvement."""
+            best_loss, best_params = best
+            loss = packed[0] / jnp.float32(n_data)
+            warm = epoch <= jnp.float32(warm_until)
+            if kbt:
+                improved = jnp.logical_and(epoch > jnp.float32(warm_until),
+                                           loss < best_loss)
+            else:
+                improved = jnp.zeros((), jnp.bool_)
+            took = jnp.logical_or(warm, improved)
+            best_loss = jnp.where(improved, loss, best_loss)
+            best_params = jax.tree.map(
+                lambda p, bp: jnp.where(took, p, bp),
+                state.params, best_params)
+            return (best_loss, best_params), took
+
+        def block_best_fn(state, best, cache, idx_block, first_epoch):
+            epochs_vec = first_epoch + jnp.arange(n_epochs,
+                                                  dtype=jnp.float32)
+
+            def epoch_body(carry, per_epoch):
+                state, best = carry
+                idx_mat, epoch = per_epoch
+                state, sums, packed = window_fn(
+                    state, cache, idx_mat, jnp.int32(0), epoch)
+                best, took = epoch_tail(best, state, epoch, packed)
+                packed = jnp.concatenate(
+                    [packed, took.astype(jnp.float32)[None]])
+                return (state, best), (packed, sums)
+
+            (state, best), (packed_rows, sums) = jax.lax.scan(
+                epoch_body, (state, best), (idx_block, epochs_vec))
+            return state, best, packed_rows, jax.tree.map(
+                lambda x: x[-1], sums)
 
         def block_fn(state, cache, idx_block, first_epoch):
             epochs_vec = first_epoch + jnp.arange(n_epochs,
@@ -630,16 +682,27 @@ class BaseTrainer:
             return state, packed_rows, jax.tree.map(lambda x: x[-1], sums)
 
         if self.mesh.size == 1:
-            fn = jax.jit(block_fn, donate_argnums=(0,))
+            if track_best:
+                fn = jax.jit(block_best_fn, donate_argnums=(0, 1))
+            else:
+                fn = jax.jit(block_fn, donate_argnums=(0,))
         else:
             rep = replicated_sharding(self.mesh)
             state_sh = self._state_sharding(rep)
             cache_sh = jax.tree.map(lambda x: x.sharding, self._train_cache)
-            fn = jax.jit(
-                block_fn, donate_argnums=(0,),
-                in_shardings=(state_sh, cache_sh, rep, rep),
-                out_shardings=(state_sh, rep, rep),
-            )
+            if track_best:
+                best_sh = (rep, self._params_sharding(rep))
+                fn = jax.jit(
+                    block_best_fn, donate_argnums=(0, 1),
+                    in_shardings=(state_sh, best_sh, cache_sh, rep, rep),
+                    out_shardings=(state_sh, best_sh, rep, rep),
+                )
+            else:
+                fn = jax.jit(
+                    block_fn, donate_argnums=(0,),
+                    in_shardings=(state_sh, cache_sh, rep, rep),
+                    out_shardings=(state_sh, rep, rep),
+                )
         self._cached_train_fns[key] = fn
         return fn
 
@@ -811,21 +874,34 @@ class BaseTrainer:
         return loss_sum_total, metric_sums, fused
 
     # ------------------------------------------ fused whole-epoch blocks
+    @property
+    def _block_best_tracking(self) -> bool:
+        """Best-model tracking that the fused-block program can carry
+        IN-GRAPH: ``keep_best_on_train`` or a ``start_keep_best_epoch``
+        warmup window, with no eval set (eval-loss tracking needs the
+        eval pass, which disables block fusion anyway)."""
+        return (self.eval_dataset is None
+                and (self.training_config.keep_best_on_train
+                     or self.start_keep_best_epoch >= 1))
+
     def _fused_epoch_blocks_eligible(self) -> bool:
         """Whole-epoch-block fusion (``_compiled_cached_train_block``)
         needs: the device cache, full-epoch chunks, and NO per-epoch
-        host decision — no eval pass interleaving, no best-model
-        snapshot, no update hook (``_needs_epoch_param_snapshot``
-        covers the last three; eval None is implied by it but kept
-        explicit). Each distinct block length is its own whole-model
-        XLA compile (expensive on this box), so short runs — under two
-        pipeline depths of remaining epochs — stay on the per-epoch
-        program, whose single chunk compile they need anyway."""
+        host decision — no eval pass interleaving and no model
+        ``update`` hook. Train-loss best-model tracking is NOT a host
+        decision anymore: the block program carries
+        ``(best_train_loss, best_params)`` in-graph
+        (``_block_best_tracking``), so ``keep_best_on_train`` and
+        warmup-window configs fuse too. Each distinct block length is
+        its own whole-model XLA compile (expensive on this box), so
+        short runs — under two pipeline depths of remaining epochs —
+        stay on the per-epoch program, whose single chunk compile they
+        need anyway."""
         cfg = self.training_config
         remaining = cfg.num_epochs - self.trained_epochs
         return (self._train_cache is not None
                 and self.eval_dataset is None
-                and not self._needs_epoch_param_snapshot
+                and type(self.model).update is BaseModel.update
                 and cfg.steps_per_execution >= len(self.train_loader)
                 and remaining >= 2 * max(1, cfg.pipeline_depth))
 
@@ -853,13 +929,19 @@ class BaseTrainer:
     def _run_cached_train_epoch_block(self, epochs):
         """Dispatch ``len(epochs)`` whole epochs as ONE launch. Returns
         ``(packed_rows, keys)``: a device (E, 1+n_metrics) scalar matrix
-        (one row per epoch, fetched later in one transfer) and the
+        (one row per epoch, fetched later in one transfer; with in-graph
+        best tracking a trailing 0/1 "took" column is appended) and the
         metric key order of its columns."""
         idx_block = self._upload_epoch_plan_block(self.train_loader, epochs)
         fn = self._compiled_cached_train_block(len(epochs))
-        self.state, packed_rows, sums = fn(
-            self.state, self._train_cache, idx_block,
-            np.float32(epochs[0]))
+        if self._block_best_tracking:
+            self.state, self._block_best, packed_rows, sums = fn(
+                self.state, self._block_best, self._train_cache, idx_block,
+                np.float32(epochs[0]))
+        else:
+            self.state, packed_rows, sums = fn(
+                self.state, self._train_cache, idx_block,
+                np.float32(epochs[0]))
         return packed_rows, sorted(sums["metrics"])
 
     def _finalize_epoch_block_host(self, epochs, packed_rows, keys,
@@ -867,12 +949,49 @@ class BaseTrainer:
         vals = np.asarray(packed_rows)  # ONE fetch for the whole block
         n_batches = len(self.train_loader)
         n_data = len(self.train_dataset)
+        track = self._block_best_tracking
         for e, row in zip(epochs, vals):
             loss = float(row[0]) / n_data
             metrics = {k: float(row[1 + j]) / n_batches
                        for j, k in enumerate(keys)}
+            in_graph_best = None
+            if track:
+                # Replay the device decision for the reference log lines
+                # and loss bookkeeping: the trailing column is the 0/1
+                # "took" flag; the f32 division reproduces the device's
+                # comparison value bit-exactly (same operands, same
+                # IEEE op) so host best_train_loss == the device carry.
+                took = bool(row[1 + len(keys)] > 0.5)
+                loss_f32 = np.float32(row[0]) / np.float32(n_data)
+                in_graph_best = (took, float(loss_f32))
             self._finalize_epoch_host(e, loss, metrics, None, None, None,
-                                      file_logger=file_logger)
+                                      file_logger=file_logger,
+                                      in_graph_best=in_graph_best)
+
+    def _init_block_best_carry(self):
+        """Fresh on-device ``(best_train_loss, best_params)`` carry for
+        the in-graph best tracking: a COPY (the block program donates
+        its carry — aliasing ``_best_params``/``model.params`` would
+        delete them on the first launch), placed with the params'
+        training shardings on multi-device meshes."""
+        base = (self._best_params if self._best_params is not None
+                else self.state.params)
+        loss0 = np.float32(self.best_train_loss)
+        if self.mesh.size == 1 and jax.process_count() == 1:
+            return (jnp.asarray(loss0), self._tree_copy(base))
+        rep = replicated_sharding(self.mesh)
+        params0 = jax.jit(lambda t: jax.tree.map(jnp.copy, t),
+                          out_shardings=self._params_sharding(rep))(base)
+        return (jax.device_put(loss0, rep), params0)
+
+    def _materialize_block_best(self):
+        """Refresh host-visible best state from the device carry at
+        sync-finalize points (checkpoint/predict/last epoch) so
+        ``best_params``/checkpoint saves read the tracked snapshot. A
+        COPY: the carry is donated into the next block's launch."""
+        if self._block_best is None:  # pragma: no cover - guarded call
+            return
+        self._best_params = self._tree_copy(self._block_best[1])
 
     def _train_fused_epoch_blocks(self, file_logger=None):
         """Pipelined loop over whole-epoch blocks: one launch + one plan
@@ -884,6 +1003,8 @@ class BaseTrainer:
         depth = max(1, cfg.pipeline_depth)
         n_batches = len(self.train_loader)
         last = cfg.num_epochs
+        if self._block_best_tracking:
+            self._block_best = self._init_block_best_carry()
         blocks, cur = [], []
         for e in range(self.trained_epochs + 1, last + 1):
             cur.append(e)
@@ -918,12 +1039,16 @@ class BaseTrainer:
                     or block[-1] == last):
                 # predict / checkpoint / final save read fresh params
                 self.model.params = self._tree_copy(self.state.params)
+                if self._block_best_tracking:
+                    self._materialize_block_best()
                 self._finalize_epoch_block_host(block, packed_rows, keys,
                                                 file_logger=file_logger)
             else:
                 prev = (block, packed_rows, keys)
         if prev is not None:  # pragma: no cover - last block always syncs
             self.model.params = self._tree_copy(self.state.params)
+            if self._block_best_tracking:
+                self._materialize_block_best()
             self._finalize_epoch_block_host(*prev, file_logger=file_logger)
 
     def train_step(self, epoch: int):
@@ -1149,7 +1274,8 @@ class BaseTrainer:
 
     def _finalize_epoch_host(self, epoch, epoch_train_loss, train_metrics,
                              epoch_eval_loss, eval_metrics,
-                             candidate_params, file_logger=None):
+                             candidate_params, file_logger=None,
+                             in_graph_best=None):
         """Host logic of one epoch's tail given NORMALIZED epoch values
         (the shape ``train_step``/``eval_step`` return): NaN guards,
         scheduler step, best-model tracking, prediction grids,
@@ -1181,7 +1307,20 @@ class BaseTrainer:
                     "(_needs_epoch_param_snapshot miscomputed)")
             return self._tree_copy(candidate_params)
 
-        if epoch <= self.start_keep_best_epoch:
+        if in_graph_best is not None:
+            # Fused-block mode: the params snapshot already happened
+            # IN-GRAPH (the block program's (best_loss, best_params)
+            # carry, materialized to _best_params at sync-finalize
+            # epochs); here we only replay the device decision for the
+            # reference's log lines and the best_train_loss bookkeeping.
+            took, loss_f32 = in_graph_best
+            if took:
+                if epoch <= self.start_keep_best_epoch:
+                    logger.info("New model saved!")
+                else:
+                    self.best_train_loss = loss_f32
+                    logger.info("New best model on train saved!")
+        elif epoch <= self.start_keep_best_epoch:
             self._best_params = snap()
             logger.info("New model saved!")
         elif (epoch_eval_loss < self.best_eval_loss

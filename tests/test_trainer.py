@@ -814,6 +814,128 @@ def test_fused_epoch_blocks_edge_partitions(dataset, tmp_path, num_epochs,
                                    rtol=0, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_devices,lr,warmup", [
+    (1, 1e-2, 0),    # monotone improvement: took every epoch
+    (1, 0.5, 0),     # large lr: non-monotone loss, took pattern mixed
+    (1, 1e-2, 3),    # warmup window, keep_best_on_train off
+    (8, 0.5, 0),     # in-graph where-select over a DP mesh
+])
+def test_fused_epoch_blocks_keep_best_matches_synchronous(
+        dataset, tmp_path, n_devices, lr, warmup):
+    """keep_best_on_train / start_keep_best_epoch configs now fuse into
+    whole-epoch blocks with the (best_loss, best_params) carry tracked
+    IN-GRAPH — the selected best params, the best_train_loss
+    bookkeeping, and the logged metrics must match the synchronous
+    loop's host-side deepcopy semantics (reference
+    base_trainer.py:501-522)."""
+    from multivae_tpu.trainers.base.callbacks import TrainingCallback
+
+    class Collector(TrainingCallback):
+        def __init__(self):
+            self.logs = []
+
+        def on_log(self, training_config, logs, **kwargs):
+            self.logs.append((kwargs.get("global_step"), dict(logs)))
+
+    kbt = warmup == 0
+    runs = {}
+    for pipelined in (False, True):
+        model = MVTCAE(MVTCAEConfig(
+            n_modalities=2, latent_dim=4,
+            input_dims={"mod1": (2,), "mod2": (3,)},
+        ), seed=0)
+        if warmup:
+            model.start_keep_best_epoch = warmup
+        collector = Collector()
+        cfg = small_config(
+            tmp_path / f"kb{pipelined}{n_devices}{lr}{warmup}",
+            num_epochs=6, learning_rate=lr, n_devices=n_devices,
+            per_device_train_batch_size=8 // n_devices,
+            keep_best_on_train=kbt,
+            pipeline_epochs=pipelined, pipeline_depth=2,
+            cache_on_device=True, steps_per_execution=100)
+        trainer = BaseTrainer(model, dataset, eval_dataset=None,
+                              training_config=cfg, callbacks=[collector])
+        if pipelined:
+            assert trainer._fused_epoch_blocks_eligible()
+            assert trainer._block_best_tracking
+        trainer.train()
+        runs[pipelined] = (trainer, collector)
+
+    t_sync, c_sync = runs[False]
+    t_blk, c_blk = runs[True]
+    assert ("block", 2) in t_blk._cached_train_fns  # the fused path ran
+    assert [s for s, _ in c_sync.logs] == [s for s, _ in c_blk.logs]
+    for (_, a), (_, b) in zip(c_sync.logs, c_blk.logs):
+        assert a == b
+    # best_train_loss: sync divides in float64, the in-graph replay in
+    # float32 (the device's own comparison value) — equal at f32 rel.
+    if kbt:
+        assert t_blk.best_train_loss == pytest.approx(
+            t_sync.best_train_loss, rel=1e-6)
+    for (pa, pb) in [(t_sync.state.params, t_blk.state.params),
+                     (t_sync.best_params, t_blk.best_params)]:
+        ja, jb = jax.tree.leaves(pa), jax.tree.leaves(pb)
+        assert all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(ja, jb))
+    # the tracked snapshot is NOT simply the final params on the
+    # fluctuating-loss configs — prove the selection actually selects
+    if lr == 0.5:
+        same = all(
+            np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree.leaves(t_sync.best_params),
+                            jax.tree.leaves(t_sync.state.params)))
+        assert not same
+    if warmup:
+        # warmup-only tracking: best == params at the END of the window,
+        # never updated afterwards (keep_best_on_train is False)
+        assert t_blk.best_train_loss == float("inf")
+
+
+def test_fused_epoch_blocks_keep_best_checkpoint_resume(dataset, tmp_path):
+    """Checkpoints inside a keep-best fused run save the in-graph
+    tracked best snapshot, and a resumed trainer (carry re-seeded from
+    the restored best) reproduces the uninterrupted run's best params
+    and final params."""
+    def build(tag, **kw):
+        model = MVTCAE(MVTCAEConfig(
+            n_modalities=2, latent_dim=4,
+            input_dims={"mod1": (2,), "mod2": (3,)},
+        ), seed=0)
+        cfg = small_config(tmp_path / tag, num_epochs=6,
+                           learning_rate=0.5, steps_saving=3,
+                           keep_best_on_train=True,
+                           cache_on_device=True, steps_per_execution=100,
+                           pipeline_depth=2, **kw)
+        return BaseTrainer(model, dataset, eval_dataset=None,
+                           training_config=cfg)
+
+    t = build("kbfused")
+    assert t._fused_epoch_blocks_eligible() and t._block_best_tracking
+    t.train()
+    ckpt = os.path.join(t.training_dir, "checkpoint_epoch_3")
+    assert os.path.isdir(ckpt)
+
+    t_sync = build("kbsync", pipeline_epochs=False)
+    t_sync.train()
+    for pa, pb in [(t_sync.state.params, t.state.params),
+                   (t_sync.best_params, t.best_params)]:
+        assert all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(jax.tree.leaves(pa),
+                                   jax.tree.leaves(pb)))
+
+    t_res = build("kbresumed")
+    t_res = BaseTrainer(t_res.model, dataset, eval_dataset=None,
+                        training_config=t_res.training_config,
+                        checkpoint=ckpt)
+    t_res.train()
+    for pa, pb in [(t_sync.state.params, t_res.state.params),
+                   (t_sync.best_params, t_res.best_params)]:
+        assert all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(jax.tree.leaves(pa),
+                                   jax.tree.leaves(pb)))
+
+
 def test_pipeline_auto_disabled_by_custom_epoch_end_callback(model, dataset,
                                                              tmp_path):
     """A user callback overriding on_epoch_end could observe a later
