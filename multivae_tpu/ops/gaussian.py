@@ -106,12 +106,16 @@ def masked_poe(mus, log_vars, mask=None, prior_expert: bool = False,
     # the WHOLE batch's gradient to NaN in the backward pass even under
     # zero cotangents. Rows with >= 1 live expert are bit-identical.
     if mask is not None and not prior_expert:
-        dead = total_precision <= 0.0
-        safe_precision = jnp.where(
-            dead, 1.0, jnp.maximum(total_precision, 1e-20)
-        )
-    else:
-        safe_precision = jnp.maximum(total_precision, 1e-20)
+        # Add the fallback precision 1.0 (the prior) ONLY on all-dead
+        # rows, derived from the mask itself. Formulated as an add of a
+        # param-independent 0/1 term rather than a where-select on the
+        # value path: ``x + 0.0`` is bit-transparent for live rows and
+        # leaves no select on the backward cotangent path (a select here
+        # perturbed XLA/LLVM fusion enough to break the host-vs-cached
+        # bit-identity pins on the CPU test backend).
+        alive = jnp.max(mask, axis=0)  # mask is already broadcast-shaped
+        total_precision = total_precision + (1.0 - jnp.minimum(alive, 1.0))
+    safe_precision = jnp.maximum(total_precision, 1e-20)
     joint_mu = weighted_mu / safe_precision
     joint_log_var = -jnp.log(safe_precision)
     return joint_mu, joint_log_var

@@ -816,9 +816,9 @@ def test_fused_epoch_blocks_edge_partitions(dataset, tmp_path, num_epochs,
 
 @pytest.mark.parametrize("n_devices,lr,warmup", [
     (1, 1e-2, 0),    # monotone improvement: took every epoch
-    (1, 0.5, 0),     # large lr: non-monotone loss, took pattern mixed
+    (1, 0.022, 0),   # large lr: non-monotone loss, took pattern mixed
     (1, 1e-2, 3),    # warmup window, keep_best_on_train off
-    (8, 0.5, 0),     # in-graph where-select over a DP mesh
+    (8, 0.022, 0),   # in-graph where-select over a DP mesh
 ])
 def test_fused_epoch_blocks_keep_best_matches_synchronous(
         dataset, tmp_path, n_devices, lr, warmup):
@@ -880,7 +880,9 @@ def test_fused_epoch_blocks_keep_best_matches_synchronous(
                    for x, y in zip(ja, jb))
     # the tracked snapshot is NOT simply the final params on the
     # fluctuating-loss configs — prove the selection actually selects
-    if lr == 0.5:
+    # (lr=0.022 on this config: argmin at epoch 5 of 6, all finite;
+    # larger lrs NaN out and abort train() in the NaN guard)
+    if lr == 0.022:
         same = all(
             np.array_equal(np.asarray(x), np.asarray(y))
             for x, y in zip(jax.tree.leaves(t_sync.best_params),
@@ -903,7 +905,7 @@ def test_fused_epoch_blocks_keep_best_checkpoint_resume(dataset, tmp_path):
             input_dims={"mod1": (2,), "mod2": (3,)},
         ), seed=0)
         cfg = small_config(tmp_path / tag, num_epochs=6,
-                           learning_rate=0.5, steps_saving=3,
+                           learning_rate=0.022, steps_saving=3,
                            keep_best_on_train=True,
                            cache_on_device=True, steps_per_execution=100,
                            pipeline_depth=2, **kw)
