@@ -427,19 +427,25 @@ def bench_mvtcae_conv(n_steps=10, mixed=False):
     return (time.perf_counter() - t0) / (n_steps * 10), flops
 
 
-def bench_trainer_e2e(n_epochs=16):
+def bench_trainer_e2e(n_epochs=32):
     """END-TO-END ``trainer.train()`` epochs at the headline scale: the
     loop a USER runs — callbacks, metric accumulation, NaN guards,
     best-model tracking, logging — with the device-resident dataset
-    cache (``cache_on_device=True``, ``steps_per_execution=200``) and
-    lag-8 pipelined epoch finalization (``pipeline_epochs=True``, the
-    default). Under pipelining, epoch boundaries are ASYNC (dispatch
-    runs ahead of the device), so the timing window must be
-    flush-aligned: it spans whole depth-8 flush cycles, from the end
-    of the first flush (epochs 1-8, which absorb compile) to the last
-    ``on_log`` — dispatch, device compute, and host finalization of
-    epochs 9..N exactly. Reference counterpart: the torch epoch loop
-    streaming every batch host->device (``base_trainer.py:664-687``)."""
+    cache (``cache_on_device=True``, ``steps_per_execution=200``),
+    lag-8 pipelined epoch finalization AND fused whole-epoch blocks
+    (this config has no eval set, so keep-best-on-train rides the
+    in-graph block carry). Under pipelining, epoch boundaries are
+    ASYNC (dispatch runs ahead of the device), so the timing window
+    must be flush-aligned: it spans whole depth-8 flush cycles, from
+    the end of the first flush (epochs 1-8, which absorb compile) to
+    the last ``on_log``. Reference counterpart: the torch epoch loop
+    streaming every batch host->device (``base_trainer.py:664-687``).
+
+    Returns a dict of sub-metrics so a shared-host artifact is
+    distinguishable from a regression (VERDICT r3 weak #2): which path
+    ran, launches per epoch, flush (fetch+finalize) ms, per-epoch ms
+    best/median across flush windows, and best-window steps/s next to
+    the mean."""
     from multivae_tpu.data import MultimodalBaseDataset
     from multivae_tpu.models import MVTCAE, MVTCAEConfig
     from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
@@ -481,12 +487,62 @@ def bench_trainer_e2e(n_epochs=16):
                           callbacks=[timer])
     assert trainer._train_cache is not None, "device cache failed to build"
     assert trainer._pipeline_epochs_eligible(), "pipelining unexpectedly off"
+    assert SMOKE or trainer._fused_epoch_blocks_eligible(), \
+        "fused epoch blocks unexpectedly ineligible"
+
+    # --- instrument: launch count + flush (fetch + host finalize) time
+    launches = {"n": 0}
+    flush_s = []
+
+    def count(orig):
+        def inner(*a, **kw):
+            launches["n"] += 1
+            return orig(*a, **kw)
+        return inner
+
+    def timed(orig):
+        def inner(*a, **kw):
+            t0 = time.perf_counter()
+            r = orig(*a, **kw)
+            flush_s.append(time.perf_counter() - t0)
+            return r
+        return inner
+
+    trainer._run_cached_train_epoch_block = count(
+        trainer._run_cached_train_epoch_block)
+    trainer._run_cached_train_epoch = count(
+        trainer._run_cached_train_epoch)
+    trainer._finalize_epoch_block_host = timed(
+        trainer._finalize_epoch_block_host)
+
     trainer.train()
+    path = ("fused_blocks"
+            if any(isinstance(k, tuple) and k[0] == "block"
+                   for k in trainer._cached_train_fns)
+            else "pipelined")
     steps_per_epoch = len(trainer.train_loader)
+    lt = timer.log_times
+    total = cfg.num_epochs
     # on_log fires once per epoch, in flush bursts; log[depth-1] marks
     # the end of the warm-up flush, log[-1] the end of the last flush.
-    dt = timer.log_times[-1] - timer.log_times[depth - 1]
-    return n_epochs * steps_per_epoch / dt
+    dt = lt[-1] - lt[depth - 1]
+    # flush-window boundaries: end of each depth-sized burst
+    bursts = [lt[i] for i in range(depth - 1, len(lt), depth)]
+    win = np.diff(np.asarray(bursts)) / depth  # s per epoch, per window
+    sub = {
+        "steps_per_sec": n_epochs * steps_per_epoch / dt,
+        "path": path,
+        "launches_per_epoch": launches["n"] / total,
+        "epoch_ms_best": float(win.min() * 1000) if len(win) else None,
+        "epoch_ms_median": (float(np.median(win) * 1000)
+                            if len(win) else None),
+        "best_window_steps_per_sec": (
+            steps_per_epoch / float(win.min()) if len(win) else None),
+        "flush_ms_median": (float(np.median(flush_s) * 1000)
+                            if flush_s else None),
+        "n_windows": int(len(win)),
+    }
+    return sub
 
 
 def bench_mmvaeplus_resnet(n_steps=1 if SMOKE else 4):
@@ -768,7 +824,8 @@ def main():
     jax_sps, mlp_flops = r2(run(bench_jax))
     jax_sps_bf16, mlp_flops_bf16 = r2(run(bench_jax, mixed_precision=True))
     torch_sps = run(bench_torch_reference_style)
-    e2e_sps = run(bench_trainer_e2e)
+    e2e = run(bench_trainer_e2e) or {}
+    e2e_sps = e2e.get("steps_per_sec")
     nll_jax_s = run(bench_nll_jax)
     nll_torch_s = run(bench_nll_torch)
     mmvae_s, mmvae_flops = r2(run(bench_mmvae_bf16))
@@ -797,6 +854,18 @@ def main():
         "mvtcae_mlp_bf16_steps_per_sec": rnd(jax_sps_bf16),
         "trainer_e2e_steps_per_sec": rnd(e2e_sps),
         "trainer_e2e_vs_device_step": ratio(e2e_sps, jax_sps),
+        # sub-metrics so a shared-host artifact is distinguishable from
+        # a regression: which trainer path ran, launch rate, per-epoch
+        # window stats and the best (least-loaded) window's rate
+        "trainer_e2e_path": e2e.get("path"),
+        "trainer_e2e_launches_per_epoch": rnd(
+            e2e.get("launches_per_epoch")),
+        "trainer_e2e_epoch_ms_best": rnd(e2e.get("epoch_ms_best"), 1),
+        "trainer_e2e_epoch_ms_median": rnd(e2e.get("epoch_ms_median"), 1),
+        "trainer_e2e_best_window_steps_per_sec": rnd(
+            e2e.get("best_window_steps_per_sec")),
+        "trainer_e2e_flush_ms_median": rnd(e2e.get("flush_ms_median"), 1),
+        "trainer_e2e_n_windows": e2e.get("n_windows"),
         "nll_k1000_512pts_seconds": rnd(nll_jax_s),
         "nll_k1000_vs_torch_cpu": ratio(nll_torch_s, nll_jax_s, 2),
         "mmvae_dreg_bf16_step_ms": ms(mmvae_s),

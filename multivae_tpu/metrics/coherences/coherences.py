@@ -139,10 +139,13 @@ class CoherenceEvaluator(Evaluator):
                 # drop to the sequential path
                 try:
                     preds_dev = sweep(params, batch, rngs)
-                except Exception as e:  # pragma: no cover - env dependent
-                    self.logger.info(
-                        "fused subset sweep unavailable (%s); falling back "
-                        "to the per-subset loop", e)
+                except TypeError as e:
+                    # non-jittable classifier only (tracer-escape errors
+                    # are TypeError subclasses); real bugs must raise
+                    self.logger.warning(
+                        "fused subset sweep unavailable (classifier not "
+                        "jittable: %s); falling back to the per-subset "
+                        "loop", e)
                     return None
                 first = False
             else:
@@ -319,10 +322,18 @@ class CoherenceEvaluator(Evaluator):
                                 else output_prior["modalities_z"])
                 try:
                     same = np.asarray(fused_fn(params, z, modalities_z))
-                except Exception as e:  # pragma: no cover - env dependent
-                    self.logger.info(
-                        "fused joint-coherence unavailable (%s); falling "
-                        "back to the per-modality loop", e)
+                except TypeError as e:
+                    # ONLY the non-jittable-classifier signature: a
+                    # host-side classifier (numpy/sklearn/torch) called
+                    # on tracers raises TypeError (JAX's
+                    # TracerArrayConversionError / ConcretizationTypeError
+                    # are TypeError subclasses). Anything else — shape
+                    # bugs, XLA failures — must surface, not silently
+                    # degrade the metric to the slow path.
+                    self.logger.warning(
+                        "fused joint-coherence unavailable (classifier "
+                        "not jittable: %s); falling back to the "
+                        "per-modality loop", e)
                     fused_fn = None
             if fused_fn is None:
                 output_decode = self.model.decode(output_prior)

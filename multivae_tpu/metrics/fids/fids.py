@@ -278,10 +278,13 @@ class FIDEvaluator(Evaluator):
                     return None
                 try:
                     acts_dev = sweep(params, batch, rngs)
-                except Exception as e:  # pragma: no cover - env dependent
-                    self.logger.info(
-                        "fused conditional-FID sweep unavailable (%s); "
-                        "falling back to the per-subset loop", e)
+                except TypeError as e:
+                    # non-jittable embedder/transform only (tracer-escape
+                    # errors are TypeError subclasses); real bugs raise
+                    self.logger.warning(
+                        "fused conditional-FID sweep unavailable (not "
+                        "jittable: %s); falling back to the per-subset "
+                        "loop", e)
                     return None
             else:
                 acts_dev = sweep(params, batch, rngs)

@@ -142,10 +142,13 @@ class Reconstruction(Evaluator):
         if getattr(self.eval_config, "fused_sweep", True):
             try:
                 fused = self._fused_eval()
-            except Exception as e:
-                self.logger.info(
-                    "fused reconstruction sweep unavailable (%s); falling "
-                    "back to the per-subset loop", e)
+            except TypeError as e:
+                # non-jittable metric/transform only (tracer-escape
+                # errors are TypeError subclasses); real bugs must raise
+                self.logger.warning(
+                    "fused reconstruction sweep unavailable (not "
+                    "jittable: %s); falling back to the per-subset "
+                    "loop", e)
                 fused = False
         if not fused:
             self.reconstruction_from_subset(list(self.model.encoders.keys()))

@@ -85,7 +85,12 @@ def masked_poe(mus, log_vars, mask=None, prior_expert: bool = False,
     Returns:
         (joint_mu, joint_log_var) of shape (B, D).
     """
-    precision = 1.0 / (jnp.exp(log_vars) + eps)
+    # exp overflows to inf at log_var >~ 88 in f32 (reachable in
+    # diverged training), and 1/inf has a NaN backward (inf/inf). The
+    # clip is bit-transparent for every representable-variance expert
+    # (max/min are exact ops) and gives diverged experts a finite tiny
+    # precision with an exactly-zero gradient instead.
+    precision = 1.0 / (jnp.exp(jnp.clip(log_vars, -88.0, 88.0)) + eps)
     if mask is not None:
         # broadcast over ALL trailing dims (latents may be conv feature
         # maps, e.g. MHVAE's intermediate levels)
@@ -107,14 +112,28 @@ def masked_poe(mus, log_vars, mask=None, prior_expert: bool = False,
     # zero cotangents. Rows with >= 1 live expert are bit-identical.
     if mask is not None and not prior_expert:
         # Add the fallback precision 1.0 (the prior) ONLY on all-dead
-        # rows, derived from the mask itself. Formulated as an add of a
-        # param-independent 0/1 term rather than a where-select on the
-        # value path: ``x + 0.0`` is bit-transparent for live rows and
-        # leaves no select on the backward cotangent path (a select here
+        # rows. Formulated as an add of a stop-gradient'd 0/1 term
+        # rather than a where-select on the value path: ``x + 0.0`` is
+        # bit-transparent for live rows regardless of fusion and leaves
+        # no select on the backward cotangent path (a select here
         # perturbed XLA/LLVM fusion enough to break the host-vs-cached
         # bit-identity pins on the CPU test backend).
-        alive = jnp.max(mask, axis=0)  # mask is already broadcast-shaped
-        total_precision = total_precision + (1.0 - jnp.minimum(alive, 1.0))
+        # Dead = no unmasked expert (the > 0 compare also keeps rows
+        # with FRACTIONAL availability weights in (0, 1) untouched) OR
+        # total precision below 1e-30 — a "live" row whose expert
+        # variances all diverged past the exp clip above has a tiny
+        # (~1e-38-scale) total precision, and without the value
+        # backstop it would fall through to the 1e-20 clamp and
+        # resurface the log_var ~ +46 sampling-overflow hazard
+        # described above. 1e-30 total precision is log_var = +69: any
+        # healthy posterior is many orders above the threshold.
+        alive = jnp.max(mask, axis=0) > 0  # mask is broadcast-shaped
+        dead = jnp.logical_or(
+            jnp.logical_not(alive),
+            jax.lax.stop_gradient(total_precision) < 1e-30,
+        )
+        total_precision = total_precision + dead.astype(
+            total_precision.dtype)
     safe_precision = jnp.maximum(total_precision, 1e-20)
     joint_mu = weighted_mu / safe_precision
     joint_log_var = -jnp.log(safe_precision)

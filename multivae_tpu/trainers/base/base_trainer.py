@@ -1645,6 +1645,19 @@ class BaseTrainer:
             with open(os.path.join(checkpoint_dir, "optimizer.msgpack"),
                       "wb") as f:
                 f.write(serialization.msgpack_serialize(opt_state_dict))
+            # The model files in the checkpoint hold the BEST snapshot
+            # (reference contract ``base_trainer.py:550-553``: checkpoints
+            # save ``self._best_model``), which is NOT the state training
+            # continues from whenever the loss is non-monotonic. Save the
+            # LIVE params alongside so resume reproduces the uninterrupted
+            # run exactly — the reference restarts from the best snapshot
+            # (``base_trainer.py:110-111``) and silently diverges there.
+            live = serialization.to_state_dict(
+                jax.tree.map(np.asarray, self.state.params)
+            )
+            with open(os.path.join(checkpoint_dir, "live_params.msgpack"),
+                      "wb") as f:
+                f.write(serialization.msgpack_serialize(live))
 
         if not self.is_main_process:
             return  # remaining artifacts are host-side, main process only
@@ -1702,6 +1715,17 @@ class BaseTrainer:
         params = jax.tree.map(jnp.asarray, params)
         self.model.params = params
         self._best_params = params
+        live_path = os.path.join(checkpoint_dir, "live_params.msgpack")
+        if os.path.exists(live_path):
+            # Exact resume: the model files hold the best snapshot; the
+            # LIVE params training left off at ride in a sibling file
+            # (see save_checkpoint). Older checkpoints without it fall
+            # back to the reference's restart-from-best semantics.
+            with open(live_path, "rb") as f:
+                restored = serialization.msgpack_restore(f.read())
+            live = serialization.from_state_dict(params, restored)
+            params = jax.tree.map(jnp.asarray, live)
+            self.model.params = params
         # the TrainState below is donated every step: it must NOT share
         # buffers with model.params/_best_params (the first resumed step
         # would delete them — surfaced by the multistage resume test

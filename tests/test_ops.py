@@ -113,6 +113,59 @@ def test_masked_poe_zero_gradient_to_masked_expert(rng):
     assert np.abs(np.asarray(gm[1])).sum() > 0
 
 
+def test_masked_poe_all_dead_row_falls_back_to_prior(rng):
+    """Rows with NO live expert get the prior N(0, I) instead of the
+    degenerate 1e-20-precision posterior; live rows are untouched."""
+    mus = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    lvs = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    mask = np.array([[0, 1, 1], [0, 1, 0]], np.float32)
+
+    mu, lv = masked_poe(jnp.asarray(mus), jnp.asarray(lvs), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(mu[0]), 0.0)
+    np.testing.assert_allclose(np.asarray(lv[0]), 0.0)
+    assert np.all(np.isfinite(np.asarray(lv)))
+
+
+def test_masked_poe_precision_underflow_backstop(rng):
+    """A row whose mask says alive but whose expert precisions ALL
+    underflow to exactly zero (exp(log_var) = inf at log_var >~ 88 in
+    f32, reachable in diverged training) must also fall back to the
+    prior — not to the log_var ~ +46 posterior whose samples overflow
+    decoder intermediates into NaN gradients."""
+    mus = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    lvs = np.full((2, 3, 4), 120.0, np.float32)  # exp -> inf, precision -> 0
+    mask = np.ones((2, 3), np.float32)
+
+    def loss(mus, lvs):
+        mu, lv = masked_poe(mus, lvs, jnp.asarray(mask))
+        return jnp.sum(mu**2) + jnp.sum(lv**2)
+
+    mu, lv = masked_poe(jnp.asarray(mus), jnp.asarray(lvs), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(lv), 0.0)  # prior, not +46
+    gm, gl = jax.grad(loss, argnums=(0, 1))(jnp.asarray(mus),
+                                            jnp.asarray(lvs))
+    assert np.all(np.isfinite(np.asarray(gm)))
+    assert np.all(np.isfinite(np.asarray(gl)))
+
+
+def test_masked_poe_fractional_mask_rows_not_perturbed(rng):
+    """Availability weights in (0, 1) scale precisions but must NOT
+    trigger any partial prior fallback on rows with live experts."""
+    mus = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    lvs = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    frac = np.full((2, 3), 0.25, np.float32)
+
+    mu_f, lv_f = masked_poe(jnp.asarray(mus), jnp.asarray(lvs),
+                            jnp.asarray(frac))
+    # reference: scale the precisions directly and run unmasked PoE
+    lvs_scaled = lvs - np.log(0.25)  # precision * 0.25
+    mu_r, lv_r = poe(jnp.asarray(mus), jnp.asarray(lvs_scaled))
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lv_f), np.asarray(lv_r),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_stable_poe_masked_zero_gradient(rng):
     mus = jnp.asarray(rng.normal(size=(2, 3, 4)).astype(np.float32))
     lvs = jnp.asarray(rng.normal(size=(2, 3, 4)).astype(np.float32))

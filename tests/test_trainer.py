@@ -894,11 +894,18 @@ def test_fused_epoch_blocks_keep_best_matches_synchronous(
         assert t_blk.best_train_loss == float("inf")
 
 
-def test_fused_epoch_blocks_keep_best_checkpoint_resume(dataset, tmp_path):
+@pytest.mark.parametrize("backend,n_devices", [
+    ("msgpack", 1), ("orbax", 1), ("msgpack", 8), ("orbax", 8),
+])
+def test_fused_epoch_blocks_keep_best_checkpoint_resume(
+        dataset, tmp_path, backend, n_devices):
     """Checkpoints inside a keep-best fused run save the in-graph
-    tracked best snapshot, and a resumed trainer (carry re-seeded from
-    the restored best) reproduces the uninterrupted run's best params
-    and final params."""
+    tracked best snapshot AND the live training state, and a resumed
+    trainer reproduces the uninterrupted run's best params and final
+    params exactly. lr=0.022 makes the loss non-monotonic on this
+    config, so best-at-checkpoint != live-at-checkpoint — the case
+    where the reference's restart-from-best resume
+    (base_trainer.py:110-111,390-427) silently diverges."""
     def build(tag, **kw):
         model = MVTCAE(MVTCAEConfig(
             n_modalities=2, latent_dim=4,
@@ -907,6 +914,9 @@ def test_fused_epoch_blocks_keep_best_checkpoint_resume(dataset, tmp_path):
         cfg = small_config(tmp_path / tag, num_epochs=6,
                            learning_rate=0.022, steps_saving=3,
                            keep_best_on_train=True,
+                           n_devices=n_devices,
+                           per_device_train_batch_size=8 // n_devices,
+                           checkpoint_backend=backend,
                            cache_on_device=True, steps_per_execution=100,
                            pipeline_depth=2, **kw)
         return BaseTrainer(model, dataset, eval_dataset=None,
@@ -930,6 +940,46 @@ def test_fused_epoch_blocks_keep_best_checkpoint_resume(dataset, tmp_path):
     t_res = BaseTrainer(t_res.model, dataset, eval_dataset=None,
                         training_config=t_res.training_config,
                         checkpoint=ckpt)
+    # the checkpoint's model files hold the BEST snapshot; the resumed
+    # live state must be the LIVE params (they differ on this config)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(jax.tree.leaves(t_res.best_params),
+                               jax.tree.leaves(t.best_params)))
+    t_res.train()
+    for pa, pb in [(t_sync.state.params, t_res.state.params),
+                   (t_sync.best_params, t_res.best_params)]:
+        assert all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(jax.tree.leaves(pa),
+                                   jax.tree.leaves(pb)))
+
+
+def test_fused_resume_from_non_block_aligned_checkpoint(dataset, tmp_path):
+    """A checkpoint taken by a SYNCHRONOUS run resumed into fused-block
+    mode: the resumed block grid ([4,5],[6]) starts at an epoch that is
+    mid-block in an uncheckpointed fused run ([1,2],[3,4],…) — the
+    partition must not matter, only the per-epoch (plan, rng) chain."""
+    def build(tag, **kw):
+        model = MVTCAE(MVTCAEConfig(
+            n_modalities=2, latent_dim=4,
+            input_dims={"mod1": (2,), "mod2": (3,)},
+        ), seed=0)
+        cfg = small_config(tmp_path / tag, num_epochs=8,
+                           learning_rate=0.022,
+                           keep_best_on_train=True,
+                           cache_on_device=True, steps_per_execution=100,
+                           pipeline_depth=2, **kw)
+        return BaseTrainer(model, dataset, eval_dataset=None,
+                           training_config=cfg)
+
+    t_sync = build("nbsync", pipeline_epochs=False, steps_saving=3)
+    t_sync.train()
+    ckpt = os.path.join(t_sync.training_dir, "checkpoint_epoch_3")
+
+    t_res = build("nbres", steps_saving=None)
+    t_res = BaseTrainer(t_res.model, dataset, eval_dataset=None,
+                        training_config=t_res.training_config,
+                        checkpoint=ckpt)
+    assert t_res._fused_epoch_blocks_eligible()
     t_res.train()
     for pa, pb in [(t_sync.state.params, t_res.state.params),
                    (t_sync.best_params, t_res.best_params)]:
