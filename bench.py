@@ -714,8 +714,17 @@ def bench_maf_sampler_fit(n_latents=512 if SMOKE else 4096, n_epochs=3):
     """MAF-sampler fit throughput: encode the train set + fit the flow
     on the latents (the sampler phase of SURVEY §7.2.13's CMVAE + MAF
     protocol; reference ``maf_sampler.py:71-146`` trains a pythae MAF
-    with a full pythae trainer). Returns latents/second through the
-    whole fit."""
+    with a full pythae trainer).
+
+    Returns a dict splitting the one-time XLA compile from the warm
+    fit rate (r3 published a single cold number that read as "sampler
+    fitting is slow" when it was "compiles on the tunnel are slow"):
+    ``cold_latents_per_sec`` times the FIRST ``fit`` (compile of the
+    one-scan fit program + encode + train), ``warm_latents_per_sec`` a
+    second identically-shaped ``fit`` hitting the jit cache — the rate
+    any real protocol (fit per latent space / per run) sees after the
+    first. Also times the MAF ``sample`` inverse direction
+    (sequential-by-dimension scan)."""
     from multivae_tpu.data import MultimodalBaseDataset
     from multivae_tpu.models import MVTCAE, MVTCAEConfig
     from multivae_tpu.samplers import MAFSampler, MAFSamplerConfig
@@ -731,9 +740,123 @@ def bench_maf_sampler_fit(n_latents=512 if SMOKE else 4096, n_epochs=3):
     sampler = MAFSampler(model, MAFSamplerConfig())
     t0 = time.perf_counter()
     sampler.fit(ds, num_epochs=n_epochs, batch_size=256)
-    dt = time.perf_counter() - t0
-    sampler.sample(64)  # exercise the inverse path too
-    return n_latents * n_epochs / dt
+    cold = n_latents * n_epochs / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    sampler.fit(ds, num_epochs=n_epochs, batch_size=256)
+    warm = n_latents * n_epochs / (time.perf_counter() - t0)
+    n_s = 64 if SMOKE else 1024
+    sampler.sample(n_s)  # compile the inverse path
+    t0 = time.perf_counter()
+    sampler.sample(n_s)
+    sample_lps = n_s / (time.perf_counter() - t0)
+    return {"cold": cold, "warm": warm, "sample": sample_lps}
+
+
+def bench_iaf_sampler(n_latents=512 if SMOKE else 4096, n_epochs=3):
+    """IAF-sampler counterpart: warm fit rate plus the SAMPLING
+    direction — for IAF the sample pass is the parallel direction
+    (one feed-forward stack) while density evaluation is sequential,
+    the mirror image of MAF (reference ``iaf_sampler.py:19-65``)."""
+    from multivae_tpu.data import MultimodalBaseDataset
+    from multivae_tpu.models import MVTCAE, MVTCAEConfig
+    from multivae_tpu.samplers import IAFSampler, IAFSamplerConfig
+
+    rng = np.random.default_rng(0)
+    data = {m: rng.uniform(size=(n_latents, *d)).astype(np.float32)
+            for m, d in DIMS.items()}
+    ds = MultimodalBaseDataset(data)
+    model = MVTCAE(MVTCAEConfig(
+        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
+        decoders_dist={m: "bernoulli" for m in DIMS},
+    ), seed=0)
+    sampler = IAFSampler(model, IAFSamplerConfig())
+    sampler.fit(ds, num_epochs=n_epochs, batch_size=256)
+    t0 = time.perf_counter()
+    sampler.fit(ds, num_epochs=n_epochs, batch_size=256)
+    warm = n_latents * n_epochs / (time.perf_counter() - t0)
+    n_s = 64 if SMOKE else 1024
+    sampler.sample(n_s)
+    t0 = time.perf_counter()
+    sampler.sample(n_s)
+    sample_lps = n_s / (time.perf_counter() - t0)
+    return {"warm": warm, "sample": sample_lps}
+
+
+def bench_maf_torch_fit(n_latents=512 if SMOKE else 4096, n_epochs=3):
+    """torch-CPU baseline for the MAF fit: the same MADE-stack flow
+    (2 blocks x 3 hidden x 128, matching ``MAFSamplerConfig``) trained
+    with Adam/batch-256 on same-shaped latents — the reference's
+    sampler fit is exactly such a loop via pythae's trainer
+    (``maf_sampler.py:100-146``). Gives the MAF row the same
+    vs-torch-CPU denominator every other row has."""
+    import torch
+    import torch.nn as tnn
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    D, H, n_hidden = LATENT, 128, 3
+
+    def masks(d_in, reverse=False):
+        order = np.arange(1, d_in + 1)
+        if reverse:
+            order = order[::-1].copy()
+        degrees = [order]
+        for _ in range(n_hidden):
+            degrees.append(np.random.default_rng(0).integers(
+                1, d_in, size=H) if d_in > 1 else np.ones(H, int))
+        ms = []
+        for d0, d1 in zip(degrees[:-1], degrees[1:]):
+            ms.append((d1[:, None] >= d0[None, :]).astype(np.float32))
+        m_out = (order[:, None] > degrees[-1][None, :]).astype(np.float32)
+        return ms, m_out
+
+    class MaskedLinear(tnn.Linear):
+        def __init__(self, din, dout, mask):
+            super().__init__(din, dout)
+            self.register_buffer("mask", torch.from_numpy(mask))
+
+        def forward(self, x):
+            return tnn.functional.linear(x, self.weight * self.mask,
+                                         self.bias)
+
+    class MADE(tnn.Module):
+        def __init__(self, reverse):
+            super().__init__()
+            ms, m_out = masks(D, reverse)
+            layers, din = [], D
+            for m in ms:
+                layers += [MaskedLinear(din, H, m), tnn.ReLU()]
+                din = H
+            self.net = tnn.Sequential(*layers)
+            self.mu = MaskedLinear(H, D, m_out)
+            self.log_s = MaskedLinear(H, D, m_out)
+
+        def forward(self, x):
+            h = self.net(x)
+            mu, log_s = self.mu(h), torch.clamp(self.log_s(h), -5, 5)
+            u = (x - mu) * torch.exp(-log_s)
+            return u, -log_s.sum(-1)
+
+    mades = tnn.ModuleList([MADE(reverse=bool(i % 2)) for i in range(2)])
+    opt = torch.optim.Adam(mades.parameters(), lr=1e-3)
+    lat = torch.from_numpy(
+        np.random.default_rng(0).normal(size=(n_latents, D))
+        .astype(np.float32))
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        perm = torch.randperm(n_latents)
+        for b in range(0, n_latents, 256):
+            x = lat[perm[b:b + 256]]
+            ldj = 0.0
+            for made in mades:
+                x, inc = made(x)
+                ldj = ldj + inc
+            nll = (0.5 * (x ** 2).sum(-1)
+                   + 0.5 * D * np.log(2 * np.pi) - ldj).mean()
+            opt.zero_grad()
+            nll.backward()
+            opt.step()
+    return n_latents * n_epochs / (time.perf_counter() - t0)
 
 
 def bench_mopoe(n_steps=15):
@@ -835,7 +958,9 @@ def main():
     mmvp_s, mmvp_flops = r2(run(bench_mmvaeplus_resnet))
     mvae_s, mvae_flops = r2(run(bench_mvae_subset_elbo))
     cmvae_s, cmvae_flops = r2(run(bench_cmvae_cluster))
-    maf_lps = run(bench_maf_sampler_fit)
+    maf = run(bench_maf_sampler_fit) or {}
+    iaf = run(bench_iaf_sampler) or {}
+    maf_torch_lps = run(bench_maf_torch_fit)
 
     def rnd(x, n=3):
         return None if x is None else round(x, n)
@@ -875,7 +1000,17 @@ def main():
         "mmvaeplus_resnet_bf16_step_ms": ms(mmvp_s),
         "mvae_subset_elbo_step_ms": ms(mvae_s),
         "cmvae_cluster_bf16_step_ms": ms(cmvae_s),
-        "maf_sampler_fit_latents_per_sec": rnd(maf_lps, 1),
+        # warm = jit-cache-hit fit rate (what any real multi-fit protocol
+        # sees); cold includes the one-time scan-program compile through
+        # the tunnel — published separately so compile latency no longer
+        # masquerades as fit throughput
+        "maf_sampler_fit_latents_per_sec": rnd(maf.get("warm"), 1),
+        "maf_sampler_fit_cold_latents_per_sec": rnd(maf.get("cold"), 1),
+        "maf_sampler_fit_vs_torch_cpu": ratio(maf.get("warm"),
+                                              maf_torch_lps, 2),
+        "maf_sampler_sample_latents_per_sec": rnd(maf.get("sample"), 1),
+        "iaf_sampler_fit_latents_per_sec": rnd(iaf.get("warm"), 1),
+        "iaf_sampler_sample_latents_per_sec": rnd(iaf.get("sample"), 1),
         "peak_tflops_bf16": PEAK_TFLOPS_BF16,
     }
     if jax_sps:

@@ -51,6 +51,12 @@ class MAFSampler(BaseSampler):
             for key, dim in self.flows_dims.items()
         }
         self.flow_params = {}
+        # jitted fit/inverse programs, ONE per flow key (jax.jit caches
+        # per input shape itself): building a fresh jit inside each call
+        # recompiled the whole fit scan on every fit()/sample() — on the
+        # tunneled TPU the compile dominated and the r3 bench published
+        # it as throughput
+        self._jit_cache = {}
 
     # ------------------------------------------------------------------ fit
     def _fit_one_flow(self, key, data: np.ndarray, num_epochs: int,
@@ -63,10 +69,20 @@ class MAFSampler(BaseSampler):
         epochs x batches of them (the per-batch loop measured 278
         latents/s through the TPU tunnel, dispatch-bound)."""
         flow = self.flows_models[key]
-        params = flow.init(rng, jnp.zeros((1, self.flows_dims[key])))
+        init = self._jit_cache.get(("init", key))
+        if init is None:
+            # eager flax init re-traces the whole MADE stack per call
+            # (measured 1.7 s of a 1.8 s "warm" fit on CPU) — jit it so
+            # repeat fits pay one compiled-program dispatch
+            dim = self.flows_dims[key]
+            init = jax.jit(lambda r, flow=flow, dim=dim: flow.init(
+                r, jnp.zeros((1, dim))))
+            self._jit_cache[("init", key)] = init
+        params = init(rng)
 
         opt = optax.adam(learning_rate)
         opt_state = opt.init(params)
+        fit = self._jit_cache.get(("fit", key, learning_rate))
 
         n = data.shape[0]
         bs = min(batch_size, n)
@@ -83,25 +99,29 @@ class MAFSampler(BaseSampler):
         idx_mat = jnp.asarray(np.stack(idx_rows))
         w_mat = jnp.asarray(np.stack(w_rows))
 
-        @jax.jit
-        def fit(params, opt_state, data_dev, idx_mat, w_mat):
-            def step(carry, iw):
-                params, opt_state = carry
-                ii, ww = iw
-                batch = data_dev[ii]
+        if fit is None:
+            @jax.jit
+            def fit(params, opt_state, data_dev, idx_mat, w_mat):
+                def step(carry, iw):
+                    params, opt_state = carry
+                    ii, ww = iw
+                    batch = data_dev[ii]
 
-                def nll(p):
-                    lp = flow.apply(p, batch, method=type(flow).log_prob)
-                    return -(lp * ww).sum(dtype=jnp.float32) / ww.sum()
+                    def nll(p):
+                        lp = flow.apply(p, batch,
+                                        method=type(flow).log_prob)
+                        return -(lp * ww).sum(dtype=jnp.float32) / ww.sum()
 
-                loss, grads = jax.value_and_grad(nll)(params)
-                updates, opt_state_ = opt.update(grads, opt_state)
-                return (optax.apply_updates(params, updates),
-                        opt_state_), loss
+                    loss, grads = jax.value_and_grad(nll)(params)
+                    updates, opt_state_ = opt.update(grads, opt_state)
+                    return (optax.apply_updates(params, updates),
+                            opt_state_), loss
 
-            (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), (idx_mat, w_mat))
-            return params, losses[-1]
+                (params, opt_state), losses = jax.lax.scan(
+                    step, (params, opt_state), (idx_mat, w_mat))
+                return params, losses[-1]
+
+            self._jit_cache[("fit", key, learning_rate)] = fit
 
         params, loss = fit(params, opt_state, jnp.asarray(data),
                            idx_mat, w_mat)
@@ -144,11 +164,17 @@ class MAFSampler(BaseSampler):
         rngs = jax.random.split(rng, len(self.flows_models))
         for i, key in enumerate(self.flows_models):
             flow = self.flows_models[key]
+            inv = self._jit_cache.get(("inv", key))
+            if inv is None:
+                # jitted: the MAF inverse is a fori_loop of input_dim
+                # full MADE passes — eagerly that is input_dim separate
+                # dispatches per block
+                inv = jax.jit(lambda p, u, flow=flow: flow.apply(
+                    p, u, method=type(flow).inverse)["out"])
+                self._jit_cache[("inv", key)] = inv
             u = jax.random.normal(rngs[i],
                                   (n_samples, self.flows_dims[key]))
-            out = flow.apply(self.flow_params[key], u,
-                             method=type(flow).inverse)
-            z_gen[key] = out["out"]
+            z_gen[key] = inv(self.flow_params[key], u)
 
         output = ModelOutput(
             z=z_gen.pop("shared"),
