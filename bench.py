@@ -614,6 +614,20 @@ def bench_mmvaeplus_resnet(n_steps=1 if SMOKE else 4):
     float(loss)
     flops = _flops_of(step, model.params, opt_state, batch,
                       jax.random.key(0))
+    if flops is not None:
+        # Unlike the multi-step benches (outer scan over whole steps,
+        # where body-counted-once IS per-step flops), here the scan is
+        # INSIDE the step: cost_analysis counts the microbatch body
+        # once, i.e. HALF the step's real work at n_micro=2. r3
+        # published 18.7% MFU off this undercount; the r4 on-chip
+        # phase profile (scripts/profile_mmvaeplus.py) pins the true
+        # figure: unscanned decode fwd+bwd alone is 37.8 TFLOP and
+        # 2x the scanned step's reported 19.7 ≈ 3x the unscanned
+        # forward (13.1) — the ideal fwd+bwd ratio. The only
+        # out-of-scan work scaled up by this correction is the Adam
+        # update + grad casts (<0.5% of step FLOPs).
+        n_micro = 1 if SMOKE else 2
+        flops *= n_micro
     return (time.perf_counter() - t0) / n_steps, flops
 
 
