@@ -447,6 +447,9 @@ def bench_trainer_e2e(n_epochs=32):
     best/median across flush windows, and best-window steps/s next to
     the mean."""
     from multivae_tpu.data import MultimodalBaseDataset
+    import jax
+    import jax.numpy as jnp
+
     from multivae_tpu.models import MVTCAE, MVTCAEConfig
     from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
     from multivae_tpu.trainers.base.callbacks import TrainingCallback
@@ -516,6 +519,20 @@ def bench_trainer_e2e(n_epochs=32):
         trainer._finalize_epoch_block_host)
 
     trainer.train()
+    # Bare host<->device round-trip probe under the SAME conditions the
+    # flush ran in: the honest work inside a flush is ONE such fetch
+    # (the packed (depth, n_scalars) matrix) + a few log lines, so
+    # flush_ms >> depth-aware probe cost attributes the residual to the
+    # tunnel/host, not the trainer.
+    probe_x = jnp.asarray(np.float32(1.0))
+    add_one = jax.jit(lambda v: v + 1.0)
+    float(add_one(probe_x))  # compile outside the probe
+    rts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(add_one(probe_x))
+        rts.append(time.perf_counter() - t0)
+    host_rt_probe_ms = float(np.median(rts) * 1000)
     path = ("fused_blocks"
             if any(isinstance(k, tuple) and k[0] == "block"
                    for k in trainer._cached_train_fns)
@@ -541,6 +558,7 @@ def bench_trainer_e2e(n_epochs=32):
         "flush_ms_median": (float(np.median(flush_s) * 1000)
                             if flush_s else None),
         "n_windows": int(len(win)),
+        "host_rt_probe_ms": round(host_rt_probe_ms, 1),
     }
     return sub
 
@@ -1005,6 +1023,7 @@ def main():
             e2e.get("best_window_steps_per_sec")),
         "trainer_e2e_flush_ms_median": rnd(e2e.get("flush_ms_median"), 1),
         "trainer_e2e_n_windows": e2e.get("n_windows"),
+        "trainer_e2e_host_rt_probe_ms": e2e.get("host_rt_probe_ms"),
         "nll_k1000_512pts_seconds": rnd(nll_jax_s),
         "nll_k1000_vs_torch_cpu": ratio(nll_torch_s, nll_jax_s, 2),
         "mmvae_dreg_bf16_step_ms": ms(mmvae_s),

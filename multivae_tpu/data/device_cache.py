@@ -50,17 +50,28 @@ class DeviceDataCache:
     """The dataset as a device-resident pytree.
 
     Attributes:
-        data: modality -> (n, *dims) device array (nested dicts allowed,
-            mirroring the CUB text convention).
+        data: modality -> (n, prod(dims)) device array, FLATTENED to 2-D
+            (nested dicts allowed, mirroring the CUB text convention).
+            TPU arrays tile their last two dims onto (8 sublanes, 128
+            lanes); a 4-D image cache like (n, 3, 32, 32) pads its
+            32-wide minor dim to 128 and the per-step row gather then
+            streams 4x the bytes — measured on the fused cached scan
+            (v5e-1, MVTCAE MLP, B=256): 217 ms/epoch with 4-D caches vs
+            69 ms with the same data flattened (3.1x). ``gather``
+            reshapes rows back to ``shapes`` after the take — a free
+            view on the batch-sized result.
         masks: modality -> (n,) float availability mask.
         labels: optional (n,) labels.
         incomplete: STATIC flag — did the dataset declare masks?
+        shapes: STATIC per-leaf trailing shapes of ``data`` (tree_leaves
+            order), restored after each gather.
     """
 
     data: Dict[str, Any]
     masks: Dict[str, Any]
     labels: Optional[jnp.ndarray] = None
     incomplete: bool = flax.struct.field(pytree_node=False, default=False)
+    shapes: tuple = flax.struct.field(pytree_node=False, default=())
 
     def gather(self, idx: jnp.ndarray, weights: jnp.ndarray):
         """Assemble the jit-internal batch for the given index row.
@@ -73,8 +84,12 @@ class DeviceDataCache:
 
         take = lambda x: jnp.take(x, idx, axis=0)  # noqa: E731
         labels = None if self.labels is None else take(self.labels)
+        leaves, treedef = jax.tree_util.tree_flatten(self.data)
+        shapes = self.shapes or tuple(x.shape[1:] for x in leaves)
+        gathered = [take(x).reshape(*idx.shape, *s)
+                    for x, s in zip(leaves, shapes)]
         return MultimodalBatch(
-            data=jax.tree.map(take, self.data),
+            data=jax.tree_util.tree_unflatten(treedef, gathered),
             masks=jax.tree.map(take, self.masks),
             weights=weights,
             labels=labels,
@@ -316,16 +331,25 @@ def build_device_cache(dataset, mesh, budget_bytes: int,
         rep = replicated_sharding(mesh)
         put = lambda x: jax.device_put(x, rep)  # noqa: E731
 
+    # Flatten data leaves to (n, prod(dims)) before upload: TPU tiling
+    # pads the minor-most dim to 128 lanes, so 4-D image caches like
+    # (n, 3, 32, 32) would occupy AND stream ~4x their logical bytes on
+    # every per-step gather (see DeviceDataCache docstring for the
+    # measured 3.1x epoch cost). gather() restores the shapes.
+    shapes = tuple(x.shape[1:] for x in jax.tree_util.tree_leaves(data))
+    flat = jax.tree.map(lambda x: x.reshape(x.shape[0], -1), data)
+
     # The budget check above is an estimate against a configured cap, not
     # against free HBM (params + a trainer's caches may already occupy the
     # chip) — so the actual transfer can still fail. Fall back to the host
     # loader instead of crashing construction.
     try:
         cache = DeviceDataCache(
-            data=jax.tree.map(put, data),
+            data=jax.tree.map(put, flat),
             masks=jax.tree.map(put, masks),
             labels=None if labels is None else put(labels),
             incomplete=incomplete,
+            shapes=shapes,
         )
     except Exception as e:
         logger.warning(

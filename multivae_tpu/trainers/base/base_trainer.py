@@ -458,15 +458,23 @@ class BaseTrainer:
 
     _concat_scalars_fn = None
 
-    def _fetch_scalar_groups(self, groups):
+    def _fetch_scalar_groups(self, groups, staged: bool = False):
         """Materialize several packed ``(vec, keys)`` epoch-scalar
         groups (see ``_pack_epoch_scalars``) in ONE device->host
         transfer (each individual ``float(x)`` costs a full round trip
         — measured 44 ms apiece through the TPU tunnel). Returns one
-        ``(loss, {k: v})`` tuple per group."""
+        ``(loss, {k: v})`` tuple per group.
+
+        ``staged=True`` (pipelined flushes whose vectors already ran
+        ``copy_to_host_async`` at deferral time) reads each vector's
+        host-staged value directly instead of launching the concat
+        program — a flush-time dispatch would queue behind whatever
+        epochs are in flight on a serialized transport."""
         vecs = [vec for vec, _ in groups]
         if len(vecs) == 1:
             vals = np.asarray(vecs[0])
+        elif staged:
+            vals = np.concatenate([np.asarray(v) for v in vecs])
         else:
             if BaseTrainer._concat_scalars_fn is None:
                 BaseTrainer._concat_scalars_fn = jax.jit(
@@ -942,6 +950,18 @@ class BaseTrainer:
             self.state, packed_rows, sums = fn(
                 self.state, self._train_cache, idx_block,
                 np.float32(epochs[0]))
+        # Enqueue the device->host copy of the block's scalar matrix NOW,
+        # before the next block's program is dispatched: on serialized
+        # transports (the tunneled TPU) a transfer requested at flush
+        # time can queue behind the whole in-flight NEXT block, making
+        # every lag-1 flush cost ~a block of device time. The later
+        # np.asarray() then finds the bytes already staged (and is the
+        # correctness path regardless — this is only a hint).
+        if hasattr(packed_rows, "copy_to_host_async"):
+            try:
+                packed_rows.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend-optional hint
+                pass
         return packed_rows, sorted(sums["metrics"])
 
     def _finalize_epoch_block_host(self, epochs, packed_rows, keys,
@@ -1239,18 +1259,20 @@ class BaseTrainer:
         return (cfg.steps_predict is not None
                 and (epoch % cfg.steps_predict == 0 or epoch == 1))
 
-    def _finalize_epochs(self, entries, file_logger=None):
+    def _finalize_epochs(self, entries, file_logger=None,
+                         staged: bool = False):
         """Host side of a RUN of deferred epochs: fetch every entry's
         packed device scalar vector (``_pack_epoch_scalars``) in ONE
-        device->host transfer, then run each epoch's host logic in
-        order. Entries are ``(epoch, train_sums, eval_sums,
-        candidate_params)`` tuples."""
+        device->host transfer (or from the host-staged async copies when
+        ``staged``), then run each epoch's host logic in order. Entries
+        are ``(epoch, train_sums, eval_sums, candidate_params)``
+        tuples."""
         groups = []
         for _, train_sums, eval_sums, _ in entries:
             groups.append(train_sums)
             if eval_sums is not None:
                 groups.append(eval_sums)
-        fetched = self._fetch_scalar_groups(groups)
+        fetched = self._fetch_scalar_groups(groups, staged=staged)
         i = 0
         for epoch, train_sums, eval_sums, candidate_params in entries:
             # Normalize with the SAME arithmetic as train_step/eval_step
@@ -1408,6 +1430,7 @@ class BaseTrainer:
             return self._train_tail()
         depth = max(1, self.training_config.pipeline_depth)
         pending = []
+        pending_staged = True
         for epoch in range(self.trained_epochs + 1,
                            self.training_config.num_epochs + 1):
             self.callback_handler.on_epoch_begin(
@@ -1448,15 +1471,32 @@ class BaseTrainer:
             # the TrainState has moved on.
             candidate = self.model.params if refresh else None
 
+            # Stage the deferred scalar vectors' device->host copies now
+            # (same rationale as _run_cached_train_epoch_block: a
+            # transfer requested at flush time can serialize behind the
+            # epochs dispatched in the meantime). Only if EVERY vector
+            # stages does the flush read them individually; otherwise it
+            # keeps the one-transfer concat.
+            for sums in (train_sums, eval_sums):
+                vec = sums[0] if isinstance(sums, tuple) else None
+                if vec is None:
+                    continue
+                try:
+                    vec.copy_to_host_async()
+                except Exception:  # pragma: no cover - optional hint
+                    pending_staged = False
             pending.append((epoch, train_sums, eval_sums, candidate))
             if (epoch == self.training_config.num_epochs
                     or self._epoch_needs_sync_finalize(epoch)
                     or len(pending) >= depth):
-                self._finalize_epochs(pending, file_logger=file_logger)
+                self._finalize_epochs(pending, file_logger=file_logger,
+                                      staged=pending_staged)
                 pending = []
+                pending_staged = True
 
         if pending:
-            self._finalize_epochs(pending, file_logger=file_logger)
+            self._finalize_epochs(pending, file_logger=file_logger,
+                                  staged=pending_staged)
         self._train_tail()
 
     def _train_tail(self):
