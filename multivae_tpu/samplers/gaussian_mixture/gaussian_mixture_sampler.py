@@ -41,7 +41,10 @@ class GaussianMixtureSampler(BaseSampler):
     def fit(self, train_data, **kwargs):
         """Encode the train set and fit a GMM per latent space
         (reference ``:51-113``)."""
-        z, mod_z = self._collect_latents(train_data)
+        # jax backend: latents stay on device (fit_gmm consumes them
+        # directly); sklearn needs host numpy arrays
+        z, mod_z = self._collect_latents(
+            train_data, device=(self.fit_backend == "jax"))
 
         if self.n_components > z.shape[0]:
             self.n_components = z.shape[0]

@@ -100,6 +100,54 @@ def test_flow_samplers(model, sampler_cls, tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_collect_latents_device_matches_per_batch_encode(model):
+    """The scanned device collection must produce the same latents as
+    the reference-shaped per-batch host encode loop (same per-batch rng
+    keys), including dropping the padded tail of the last batch."""
+    from multivae_tpu.data.loader import DataLoader
+
+    ds = make_dataset("complete", n=23)  # 23 % 8 != 0: exercises padding
+    sampler = MAFSampler(model, MAFSamplerConfig(
+        n_made_blocks=1, hidden_size=8, n_hidden_in_made=1))
+    key = jax.random.key(7)
+    z_dev, mods = sampler._collect_latents(ds, batch_size=8, rng=key,
+                                           device=True)
+    assert mods is None
+    assert z_dev.shape == (23, LATENT)
+
+    loader = DataLoader(ds, batch_size=8, shuffle=False, drop_last=False)
+    keys = jax.random.split(key, len(loader))
+    rows = []
+    for i, batch in enumerate(loader):
+        out = model.encode(batch, rng=keys[i])
+        rows.append(np.asarray(out.z)[np.asarray(batch.weights) > 0])
+    np.testing.assert_allclose(np.asarray(z_dev), np.concatenate(rows),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_collect_latents_device_multilatent(multilatent_model):
+    ds = make_dataset("complete", n=12)
+    sampler = MAFSampler(multilatent_model, MAFSamplerConfig(
+        n_made_blocks=1, hidden_size=8, n_hidden_in_made=1))
+    z, mods = sampler._collect_latents(ds, batch_size=6,
+                                       rng=jax.random.key(0), device=True)
+    assert z.shape == (12, LATENT)
+    assert set(mods) == set(DIMS)
+    assert mods["mod1"].shape == (12, 3)
+    assert all(np.all(np.isfinite(np.asarray(v))) for v in mods.values())
+
+
+def test_collect_latents_device_falls_back_on_incomplete(model):
+    """Incomplete datasets keep model.encode's availability semantics:
+    the device path must decline and the host loop raise/behave as
+    before."""
+    ds = make_dataset("incomplete", n=16)
+    sampler = MAFSampler(model, MAFSamplerConfig(
+        n_made_blocks=1, hidden_size=8, n_hidden_in_made=1))
+    with pytest.raises(AttributeError):
+        sampler._collect_latents(ds, batch_size=8, device=True)
+
+
 def test_maf_sampler_multilatent(multilatent_model):
     ds = make_dataset("complete", n=12)
     sampler = MAFSampler(multilatent_model, MAFSamplerConfig(
