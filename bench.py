@@ -524,11 +524,15 @@ def bench_trainer_e2e(n_epochs=32):
     # (the packed (depth, n_scalars) matrix) + a few log lines, so
     # flush_ms >> depth-aware probe cost attributes the residual to the
     # tunnel/host, not the trainer.
-    probe_x = jnp.asarray(np.float32(1.0))
     add_one = jax.jit(lambda v: v + 1.0)
-    float(add_one(probe_x))  # compile outside the probe
+    float(add_one(jnp.asarray(np.float32(0.0))))  # compile outside the probe
     rts = []
-    for _ in range(5):
+    for i in range(5):
+        # DISTINCT input each rep: the axon plugin elides repeat
+        # executions of an identical (fn, args) pair (a same-args probe
+        # once read 80 TB/s), which would under-report the RT and
+        # mis-attribute genuine tunnel latency to the trainer.
+        probe_x = jnp.asarray(np.float32(1.0 + i))
         t0 = time.perf_counter()
         float(add_one(probe_x))
         rts.append(time.perf_counter() - t0)
@@ -742,24 +746,20 @@ def bench_cmvae_cluster(n_steps=2 if SMOKE else 10):
     return (time.perf_counter() - t0) / n_steps, flops
 
 
-def bench_maf_sampler_fit(n_latents=512 if SMOKE else 4096, n_epochs=3):
-    """MAF-sampler fit throughput: encode the train set + fit the flow
-    on the latents (the sampler phase of SURVEY §7.2.13's CMVAE + MAF
-    protocol; reference ``maf_sampler.py:71-146`` trains a pythae MAF
-    with a full pythae trainer).
-
-    Returns a dict splitting the one-time XLA compile from the warm
-    fit rate (r3 published a single cold number that read as "sampler
-    fitting is slow" when it was "compiles on the tunnel are slow"):
-    ``cold_latents_per_sec`` times the FIRST ``fit`` (compile of the
-    one-scan fit program + encode + train), ``warm_latents_per_sec`` a
-    second identically-shaped ``fit`` hitting the jit cache — the rate
-    any real protocol (fit per latent space / per run) sees after the
-    first. Also times the MAF ``sample`` inverse direction
-    (sequential-by-dimension scan)."""
+def _bench_flow_sampler(sampler_cls, config_cls, n_latents, n_epochs,
+                        measure_cold):
+    """Shared MAF/IAF fit+sample harness: ONE protocol (same dataset,
+    model, batch size, timing points) so the published MAF-vs-IAF
+    comparison can't drift when one copy is tweaked. Cold = the FIRST
+    ``fit`` (dataset upload + XLA compile of the scanned collect/fit
+    programs + train); warm = a second identically-shaped ``fit``
+    hitting the jit and device-cache — the rate any real protocol (fit
+    per latent space / per run) sees after the first. ``sample`` times
+    the inverse direction (sequential-by-dimension for MAF, the
+    parallel feed-forward stack for IAF — the mirror image, reference
+    ``iaf_sampler.py:19-65``)."""
     from multivae_tpu.data import MultimodalBaseDataset
     from multivae_tpu.models import MVTCAE, MVTCAEConfig
-    from multivae_tpu.samplers import MAFSampler, MAFSamplerConfig
 
     rng = np.random.default_rng(0)
     data = {m: rng.uniform(size=(n_latents, *d)).astype(np.float32)
@@ -769,7 +769,7 @@ def bench_maf_sampler_fit(n_latents=512 if SMOKE else 4096, n_epochs=3):
         n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
         decoders_dist={m: "bernoulli" for m in DIMS},
     ), seed=0)
-    sampler = MAFSampler(model, MAFSamplerConfig())
+    sampler = sampler_cls(model, config_cls())
     t0 = time.perf_counter()
     sampler.fit(ds, num_epochs=n_epochs, batch_size=256)
     cold = n_latents * n_epochs / (time.perf_counter() - t0)
@@ -781,37 +781,33 @@ def bench_maf_sampler_fit(n_latents=512 if SMOKE else 4096, n_epochs=3):
     t0 = time.perf_counter()
     sampler.sample(n_s)
     sample_lps = n_s / (time.perf_counter() - t0)
-    return {"cold": cold, "warm": warm, "sample": sample_lps}
+    out = {"warm": warm, "sample": sample_lps}
+    if measure_cold:
+        out["cold"] = cold
+    return out
+
+
+def bench_maf_sampler_fit(n_latents=512 if SMOKE else 4096, n_epochs=3):
+    """MAF-sampler fit throughput: encode the train set + fit the flow
+    on the latents (the sampler phase of SURVEY §7.2.13's CMVAE + MAF
+    protocol; reference ``maf_sampler.py:71-146`` trains a pythae MAF
+    with a full pythae trainer). Cold/warm split: r3 published a single
+    cold number that read as "sampler fitting is slow" when it was
+    "compiles on the tunnel are slow"."""
+    from multivae_tpu.samplers import MAFSampler, MAFSamplerConfig
+
+    return _bench_flow_sampler(MAFSampler, MAFSamplerConfig,
+                               n_latents, n_epochs, measure_cold=True)
 
 
 def bench_iaf_sampler(n_latents=512 if SMOKE else 4096, n_epochs=3):
-    """IAF-sampler counterpart: warm fit rate plus the SAMPLING
-    direction — for IAF the sample pass is the parallel direction
-    (one feed-forward stack) while density evaluation is sequential,
-    the mirror image of MAF (reference ``iaf_sampler.py:19-65``)."""
-    from multivae_tpu.data import MultimodalBaseDataset
-    from multivae_tpu.models import MVTCAE, MVTCAEConfig
+    """IAF-sampler counterpart (same harness — see
+    ``_bench_flow_sampler`` for the protocol and the MAF/IAF direction
+    mirror)."""
     from multivae_tpu.samplers import IAFSampler, IAFSamplerConfig
 
-    rng = np.random.default_rng(0)
-    data = {m: rng.uniform(size=(n_latents, *d)).astype(np.float32)
-            for m, d in DIMS.items()}
-    ds = MultimodalBaseDataset(data)
-    model = MVTCAE(MVTCAEConfig(
-        n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
-        decoders_dist={m: "bernoulli" for m in DIMS},
-    ), seed=0)
-    sampler = IAFSampler(model, IAFSamplerConfig())
-    sampler.fit(ds, num_epochs=n_epochs, batch_size=256)
-    t0 = time.perf_counter()
-    sampler.fit(ds, num_epochs=n_epochs, batch_size=256)
-    warm = n_latents * n_epochs / (time.perf_counter() - t0)
-    n_s = 64 if SMOKE else 1024
-    sampler.sample(n_s)
-    t0 = time.perf_counter()
-    sampler.sample(n_s)
-    sample_lps = n_s / (time.perf_counter() - t0)
-    return {"warm": warm, "sample": sample_lps}
+    return _bench_flow_sampler(IAFSampler, IAFSamplerConfig,
+                               n_latents, n_epochs, measure_cold=False)
 
 
 def bench_maf_torch_fit(n_latents=512 if SMOKE else 4096, n_epochs=3):

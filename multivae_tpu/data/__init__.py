@@ -6,7 +6,8 @@ from .datasets.base import (
     ResampleDataset,
     random_split,
 )
-from .device_cache import DeviceDataCache, build_device_cache
+from .device_cache import (DeviceDataCache, build_device_cache,
+                           release_sampler_cache)
 from .loader import DataLoader
 
 __all__ = [
@@ -18,5 +19,6 @@ __all__ = [
     "MultimodalBatch",
     "ResampleDataset",
     "build_device_cache",
+    "release_sampler_cache",
     "random_split",
 ]

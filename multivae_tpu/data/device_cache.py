@@ -241,6 +241,19 @@ def cache_per_device_nbytes(cache: DeviceDataCache) -> int:
     return total
 
 
+def release_sampler_cache(dataset) -> bool:
+    """Drop the device cache a sampler fit memoized on ``dataset``
+    (``BaseSampler._collect_latents(device=True)``), freeing its HBM
+    once the last program referencing it completes. Returns True if a
+    cache was attached. No-op for caches the trainer SHARED onto the
+    dataset while the trainer itself still holds them — the arrays are
+    only freed when every reference drops."""
+    if getattr(dataset, "_sampler_device_cache", None) is not None:
+        dataset._sampler_device_cache = None
+        return True
+    return False
+
+
 def build_device_cache(dataset, mesh, budget_bytes: int,
                        chunk: int = 4096,
                        layout: str = "auto") -> Optional[DeviceDataCache]:

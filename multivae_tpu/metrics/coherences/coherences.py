@@ -15,6 +15,7 @@ import numpy as np
 
 from ...utils.model_output import ModelOutput
 from ..base.evaluator_class import Evaluator
+from ..base.subset_sweep import is_fused_fallback_error
 from .coherences_config import CoherenceEvaluatorConfig
 
 
@@ -139,12 +140,14 @@ class CoherenceEvaluator(Evaluator):
                 # drop to the sequential path
                 try:
                     preds_dev = sweep(params, batch, rngs)
-                except TypeError as e:
-                    # non-jittable classifier only (tracer-escape errors
-                    # are TypeError subclasses); real bugs must raise
+                except Exception as e:
+                    # non-jittable classifier or device OOM only (see
+                    # is_fused_fallback_error); real bugs must raise
+                    if not is_fused_fallback_error(e):
+                        raise
                     self.logger.warning(
-                        "fused subset sweep unavailable (classifier not "
-                        "jittable: %s); falling back to the per-subset "
+                        "fused subset sweep unavailable "
+                        "(%s); falling back to the per-subset "
                         "loop", e)
                     return None
                 first = False
@@ -322,17 +325,19 @@ class CoherenceEvaluator(Evaluator):
                                 else output_prior["modalities_z"])
                 try:
                     same = np.asarray(fused_fn(params, z, modalities_z))
-                except TypeError as e:
-                    # ONLY the non-jittable-classifier signature: a
-                    # host-side classifier (numpy/sklearn/torch) called
-                    # on tracers raises TypeError (JAX's
-                    # TracerArrayConversionError / ConcretizationTypeError
-                    # are TypeError subclasses). Anything else — shape
-                    # bugs, XLA failures — must surface, not silently
-                    # degrade the metric to the slow path.
+                except Exception as e:
+                    # ONLY the non-jittable-classifier signature
+                    # (TypeError: JAX's TracerArrayConversionError /
+                    # ConcretizationTypeError are subclasses) or a
+                    # device RESOURCE_EXHAUSTED — see
+                    # is_fused_fallback_error. Anything else — shape
+                    # bugs, other XLA failures — must surface, not
+                    # silently degrade the metric to the slow path.
+                    if not is_fused_fallback_error(e):
+                        raise
                     self.logger.warning(
-                        "fused joint-coherence unavailable (classifier "
-                        "not jittable: %s); falling back to the "
+                        "fused joint-coherence unavailable "
+                        "(%s); falling back to the "
                         "per-modality loop", e)
                     fused_fn = None
             if fused_fn is None:

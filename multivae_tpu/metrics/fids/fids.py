@@ -18,6 +18,7 @@ import jax
 
 from ...utils.model_output import ModelOutput
 from ..base.evaluator_class import Evaluator
+from ..base.subset_sweep import is_fused_fallback_error
 from .fids_config import FIDEvaluatorConfig
 
 
@@ -278,12 +279,14 @@ class FIDEvaluator(Evaluator):
                     return None
                 try:
                     acts_dev = sweep(params, batch, rngs)
-                except TypeError as e:
-                    # non-jittable embedder/transform only (tracer-escape
-                    # errors are TypeError subclasses); real bugs raise
+                except Exception as e:
+                    # non-jittable embedder/transform or device OOM only
+                    # (see is_fused_fallback_error); real bugs raise
+                    if not is_fused_fallback_error(e):
+                        raise
                     self.logger.warning(
-                        "fused conditional-FID sweep unavailable (not "
-                        "jittable: %s); falling back to the per-subset "
+                        "fused conditional-FID sweep unavailable "
+                        "(%s); falling back to the per-subset "
                         "loop", e)
                     return None
             else:

@@ -13,6 +13,7 @@ import numpy as np
 from ...ops.ssim import ssim
 from ...utils.model_output import ModelOutput
 from ..base.evaluator_class import Evaluator
+from ..base.subset_sweep import is_fused_fallback_error
 from .reconstruction_config import ReconstructionConfig
 
 
@@ -142,12 +143,14 @@ class Reconstruction(Evaluator):
         if getattr(self.eval_config, "fused_sweep", True):
             try:
                 fused = self._fused_eval()
-            except TypeError as e:
-                # non-jittable metric/transform only (tracer-escape
-                # errors are TypeError subclasses); real bugs must raise
+            except Exception as e:
+                # non-jittable metric/transform or device OOM only (see
+                # is_fused_fallback_error); real bugs must raise
+                if not is_fused_fallback_error(e):
+                    raise
                 self.logger.warning(
-                    "fused reconstruction sweep unavailable (not "
-                    "jittable: %s); falling back to the per-subset "
+                    "fused reconstruction sweep unavailable "
+                    "(%s); falling back to the per-subset "
                     "loop", e)
                 fused = False
         if not fused:

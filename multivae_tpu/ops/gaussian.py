@@ -127,18 +127,20 @@ def masked_poe(mus, log_vars, mask=None, prior_expert: bool = False,
         # bit-identity pins on the CPU test backend).
         # Dead = no unmasked expert (the > 0 compare also keeps rows
         # with FRACTIONAL availability weights in (0, 1) untouched) OR
-        # total precision below 1e-30 — a "live" row whose expert
-        # variances all diverged toward the f32 exp-overflow point has
-        # a subnormal (or TPU flushed-to-zero) total precision, and
-        # without the value backstop it would fall through to the
-        # 1e-20 clamp and resurface the log_var ~ +46 sampling-overflow
-        # hazard described above. 1e-30 total precision is
-        # log_var = +69: any healthy posterior is many orders above
-        # the threshold.
+        # total precision at/below the 1e-20 clamp floor — a "live" row
+        # whose expert variances all diverged toward the f32
+        # exp-overflow point has a tiny (or TPU flushed-to-zero) total
+        # precision, and without the value backstop it would fall
+        # through to the clamp and resurface the log_var ~ +46
+        # sampling-overflow hazard described above. The threshold MUST
+        # match the clamp: an earlier 1e-30 threshold left the
+        # [1e-30, 1e-20) band (expert log_var in +46..+69) exposed to
+        # exactly that hazard. 1e-20 total precision is log_var = +46:
+        # any healthy posterior is many orders above it.
         alive = jnp.max(mask, axis=0) > 0  # mask is broadcast-shaped
         dead = jnp.logical_or(
             jnp.logical_not(alive),
-            jax.lax.stop_gradient(total_precision) < 1e-30,
+            jax.lax.stop_gradient(total_precision) <= 1e-20,
         )
         total_precision = total_precision + dead.astype(
             total_precision.dtype)

@@ -224,6 +224,18 @@ class BaseTrainer:
             layout = training_config.device_cache_layout
             self._train_cache = build_device_cache(
                 train_dataset, self.mesh, budget, layout=layout)
+            if self._train_cache is not None and self.mesh.size == 1:
+                # Share with the sampler fit path: a post-training
+                # MAF/IAF/GMM fit on the same dataset reuses this cache
+                # instead of uploading a SECOND full HBM copy (the
+                # sampler memoizes under the same attribute; only
+                # single-device caches qualify — a multi-device cache's
+                # committed NamedShardings don't fit the sampler's
+                # single-device collect program).
+                try:
+                    train_dataset._sampler_device_cache = self._train_cache
+                except Exception:  # pragma: no cover - exotic datasets
+                    pass
             if eval_dataset is not None:
                 # Budget the eval cache independently: a train set that
                 # fell back (over budget / unindexable) must not also

@@ -361,3 +361,18 @@ def test_fused_coherence_multibatch(dataset):
     assert a == b
     for v in a.values():
         assert 0.0 <= v <= 1.0
+
+
+def test_fused_fallback_error_classification():
+    """Only non-jittable-classifier TypeErrors and device OOM degrade a
+    fused sweep to the sequential path; other failures must raise."""
+    from multivae_tpu.metrics.base.subset_sweep import (
+        is_fused_fallback_error,
+    )
+
+    assert is_fused_fallback_error(TypeError("not jittable"))
+    assert is_fused_fallback_error(
+        RuntimeError("RESOURCE_EXHAUSTED: Out of memory allocating ..."))
+    assert not is_fused_fallback_error(RuntimeError("INTERNAL: boom"))
+    assert not is_fused_fallback_error(ValueError("RESOURCE_EXHAUSTED"))
+    assert not is_fused_fallback_error(KeyError("mod1"))

@@ -135,7 +135,7 @@ def test_masked_poe_precision_underflow_backstop(rng):
     with finite gradients.
 
     log_var = 88.5: exp = 2.7e38 (finite), precision ~ 3.7e-39, total
-    precision far below the 1e-30 dead threshold. (Past the exp
+    precision far below the 1e-20 dead threshold. (Past the exp
     OVERFLOW point, ~88.7, the VALUE path still falls back to the
     prior, asserted below, but the backward is inf/inf NaN exactly as
     in the reference torch implementation — the trainer NaN guard's
@@ -162,6 +162,20 @@ def test_masked_poe_precision_underflow_backstop(rng):
     mu2, lv2 = masked_poe(jnp.asarray(mus), jnp.asarray(lvs_inf),
                           jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(lv2), 0.0)
+
+    # the [clamp, old-1e-30-threshold) band: log_var = +55 gives total
+    # precision ~ 3.9e-24 — above 1e-30 but at/below the 1e-20 clamp
+    # floor after f32 rounding of nearby magnitudes; the threshold must
+    # MATCH the clamp so no reachable total precision falls through to
+    # the degenerate log_var ~ +46 posterior. Assert the contract
+    # directly: the returned log_var is either a healthy posterior
+    # (< 44, i.e. nowhere near the clamp) or the exact prior 0.0.
+    for lv_band in (50.0, 55.0, 60.0, 65.0):
+        lvs_band = np.full((2, 3, 4), lv_band, np.float32)
+        _, lvb = masked_poe(jnp.asarray(mus), jnp.asarray(lvs_band),
+                            jnp.asarray(mask))
+        lvb = np.asarray(lvb)
+        assert np.all((lvb < 44.0) | (lvb == 0.0)), (lv_band, lvb)
     assert np.all(np.isfinite(np.asarray(mu2)))
 
 
