@@ -46,6 +46,40 @@ class BaseSampler:
         self.sampler_config.save_json(dir_path, "sampler_config")
 
     # ------------------------------------------------------------- helpers
+    def _per_sample_masked_encode_supported(self) -> bool:
+        """Can this model encode a batch whose rows each miss a different
+        modality subset in ONE program? True for the PoE families
+        (``supports_per_sample_conditioning``): their ``_encode_masked``
+        folds ``batch.masks`` into the precision product per sample, so
+        incomplete rows condition on exactly their available modalities
+        (the same contract ``serving.AnySubsetPredictor`` relies on)."""
+        m = self.model
+        return (m._encode_masked is not None
+                and getattr(m, "supports_per_sample_conditioning", False))
+
+    def _masked_encode_one(self):
+        """Per-batch cond='all' masked encode (jit-compatible pure fn of
+        ``(params, batch, rng)``) shared by the device scan and the
+        incomplete-data host loop. Models with a per-row
+        posterior-vs-prior select (DMVAE) opt into ``per_sample=True``:
+        each row's available modalities ARE its conditioning set, the
+        natural incomplete-data fit semantics (missing private codes draw
+        from their N(0, I) prior instead of a posterior over garbage)."""
+        from functools import partial
+
+        model = self.model
+        cond = model._normalize_cond_mod("all")
+        if model._encode_masked is not None:
+            kw = {}
+            if getattr(model, "masked_encode_per_sample_flag", False):
+                kw["per_sample"] = True
+            sub = model.subset_indicator(cond)
+            enc = partial(model._encode_masked, N=1, return_mean=False,
+                          flatten=False, **kw)
+            return lambda params, batch, r: enc(params, batch, r, sub)
+        return partial(model._encode_subset, cond_mod=cond, N=1,
+                       return_mean=False, flatten=False)
+
     def _collect_latents(self, dataset, batch_size: int = 100, rng=None,
                          device: bool = False):
         """Encode the whole dataset; returns (z, modalities_z or None)
@@ -61,9 +95,16 @@ class BaseSampler:
         transfers. On the tunneled TPU the host loop's per-batch
         upload/dispatch/fetch round trips dominated the entire MAF fit
         (measured: the flow-training scan itself is ~milliseconds);
-        falls back to the host loop when the dataset can't be cached
-        or declares missing modalities (``model.encode`` must see the
-        availability error path)."""
+        falls back to the host loop when the dataset can't be cached.
+
+        Incomplete datasets: models whose masked encode is fully
+        per-sample (the PoE families) fit on partial data by
+        conditioning each row on ITS available modalities — in-graph,
+        on both paths (the reference never fits a sampler on partial
+        data; its samplers script loads ``missing_ratio=0``,
+        ``benchmarking_on_partial_polymnist/samplers.py:22`` +
+        ``global_config.py:111``). Mixture-selection models keep
+        ``model.encode``'s availability error."""
         if device:
             out = self._collect_latents_device(dataset, batch_size, rng)
             if out is not None:
@@ -73,13 +114,28 @@ class BaseSampler:
         zs = []
         mod_zs = ({m: [] for m in self.model.encoders}
                   if self.model.multiple_latent_spaces else None)
+        masked_fn = None
         for batch in loader:
-            out = self.model.encode(batch, rng=rng)
+            if batch.incomplete and self._per_sample_masked_encode_supported():
+                # per-sample masked encode (same in-graph availability
+                # semantics as the device scan); public encode keeps its
+                # reference error path for mixture-selection models
+                if masked_fn is None:
+                    import jax
+
+                    masked_fn = jax.jit(self._masked_encode_one())
+                r = rng if rng is not None else self.model.next_rng()
+                out = masked_fn(self.model._ensure_params(), batch, r)
+                out_z, out_mods = out["z"], out.get("modalities_z")
+            else:
+                out = self.model.encode(batch, rng=rng)
+                out_z = out.z
+                out_mods = (out.modalities_z if mod_zs is not None else None)
             valid = np.asarray(batch.weights) > 0
-            zs.append(np.asarray(out.z)[valid])
+            zs.append(np.asarray(out_z)[valid])
             if mod_zs is not None:
                 for m in mod_zs:
-                    mod_zs[m].append(np.asarray(out.modalities_z[m])[valid])
+                    mod_zs[m].append(np.asarray(out_mods[m])[valid])
         z = np.concatenate(zs, axis=0)
         if mod_zs is not None:
             mod_zs = {m: np.concatenate(v, axis=0) for m, v in mod_zs.items()}
@@ -115,8 +171,9 @@ class BaseSampler:
                 dataset._sampler_device_cache = cache
             except Exception:  # pragma: no cover - exotic dataset types
                 pass
-        if cache.incomplete:
-            # keep model.encode's availability-check semantics
+        if cache.incomplete and not self._per_sample_masked_encode_supported():
+            # mixture-selection models keep model.encode's
+            # availability-check semantics (the host loop raises)
             return None
 
         loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
@@ -128,23 +185,7 @@ class BaseSampler:
             rng = model.next_rng()
 
         if self._collect_fn is None:
-            from functools import partial
-
-            cond = model._normalize_cond_mod("all")
-            if model._encode_masked is not None:
-                sub = model.subset_indicator(cond)
-                enc = partial(model._encode_masked, N=1,
-                              return_mean=False, flatten=False)
-
-                def encode_one(params, batch, r):
-                    return enc(params, batch, r, sub)
-            else:
-                enc = partial(model._encode_subset, cond_mod=cond, N=1,
-                              return_mean=False, flatten=False)
-
-                def encode_one(params, batch, r):
-                    return enc(params, batch, r)
-
+            encode_one = self._masked_encode_one()
             collect_mods = model.multiple_latent_spaces
 
             @jax.jit

@@ -163,15 +163,91 @@ def test_sampler_reuses_trainer_device_cache(model, tmp_path):
     assert not release_sampler_cache(ds)
 
 
-def test_collect_latents_device_falls_back_on_incomplete(model):
-    """Incomplete datasets keep model.encode's availability semantics:
-    the device path must decline and the host loop raise/behave as
-    before."""
+def test_collect_latents_incomplete_mixture_model_still_raises():
+    """Mixture-selection models (MoE subset draw is per-BATCH, not
+    per-sample) keep model.encode's availability semantics on incomplete
+    data: the device path declines and the host loop raises."""
+    from multivae_tpu.models import MMVAE, MMVAEConfig
+
+    moe = MMVAE(MMVAEConfig(n_modalities=3, latent_dim=LATENT,
+                            input_dims=DIMS, K=1))
     ds = make_dataset("incomplete", n=16)
-    sampler = MAFSampler(model, MAFSamplerConfig(
+    sampler = MAFSampler(moe, MAFSamplerConfig(
         n_made_blocks=1, hidden_size=8, n_hidden_in_made=1))
     with pytest.raises(AttributeError):
         sampler._collect_latents(ds, batch_size=8, device=True)
+
+
+def test_collect_latents_incomplete_device_matches_host_encode(model):
+    """Incomplete datasets: the device collection conditions each row on
+    ITS available modalities through the masked-subset encode — equal to
+    a per-batch ``model.encode(..., ignore_incomplete=True)`` host loop
+    with matched keys (the public-API expression of the same per-sample
+    masked PoE). VERDICT r4 task #3."""
+    from multivae_tpu.data.loader import DataLoader
+
+    ds = make_dataset("incomplete", n=23)  # padded last batch
+    sampler = MAFSampler(model, MAFSamplerConfig(
+        n_made_blocks=1, hidden_size=8, n_hidden_in_made=1))
+    key = jax.random.key(11)
+    z_dev, mods = sampler._collect_latents(ds, batch_size=8, rng=key,
+                                           device=True)
+    assert mods is None
+    assert z_dev.shape == (23, LATENT)
+    assert np.all(np.isfinite(np.asarray(z_dev)))
+
+    loader = DataLoader(ds, batch_size=8, shuffle=False, drop_last=False)
+    keys = jax.random.split(key, len(loader))
+    rows = []
+    for i, batch in enumerate(loader):
+        out = model.encode(batch, rng=keys[i], ignore_incomplete=True)
+        rows.append(np.asarray(out.z)[np.asarray(batch.weights) > 0])
+    np.testing.assert_allclose(np.asarray(z_dev), np.concatenate(rows),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_collect_latents_incomplete_host_loop_no_device(model):
+    """The host fallback loop (device=False) also fits on incomplete
+    data for per-sample-capable models instead of raising."""
+    ds = make_dataset("incomplete", n=16)
+    sampler = MAFSampler(model, MAFSamplerConfig(
+        n_made_blocks=1, hidden_size=8, n_hidden_in_made=1))
+    z, mods = sampler._collect_latents(ds, batch_size=8,
+                                       rng=jax.random.key(0), device=False)
+    assert z.shape == (16, LATENT)
+    assert mods is None
+    assert np.all(np.isfinite(z))
+
+
+def test_collect_latents_incomplete_multilatent_per_sample():
+    """DMVAE (per-row posterior-vs-prior select): device collection on
+    incomplete data returns private codes drawn from the PRIOR on rows
+    missing that modality (per_sample=True semantics, as in serving)."""
+    from multivae_tpu.models import DMVAE, DMVAEConfig
+
+    model = DMVAE(DMVAEConfig(n_modalities=3, latent_dim=LATENT,
+                              input_dims=DIMS,
+                              modalities_specific_dim={m: 3 for m in DIMS}))
+    ds = make_dataset("incomplete", n=12)
+    sampler = GaussianMixtureSampler(
+        model, GaussianMixtureSamplerConfig(n_components=2))
+    z, mods = sampler._collect_latents(ds, batch_size=6,
+                                       rng=jax.random.key(3), device=True)
+    assert z.shape == (12, LATENT)
+    assert set(mods) == set(DIMS)
+    assert all(np.all(np.isfinite(np.asarray(v))) for v in mods.values())
+
+
+def test_gmm_sampler_fit_on_incomplete_dataset(model):
+    """End-to-end: a GMM sampler fit + sample on an IncompleteDataset
+    (the library's marquee feature) works for PoE-family models."""
+    ds = make_dataset("incomplete", n=20)
+    sampler = GaussianMixtureSampler(
+        model, GaussianMixtureSamplerConfig(n_components=2))
+    sampler.fit(ds)
+    out = sampler.sample(5)
+    assert out.z.shape == (5, LATENT)
+    assert np.all(np.isfinite(np.asarray(out.z)))
 
 
 def test_maf_sampler_multilatent(multilatent_model):
