@@ -25,10 +25,20 @@ device holds 1/n_data of the rows, so a dataset N x larger than one
 chip's budget still trains with zero per-step host transfers on an
 N-device mesh.
 
+Under MULTI-HOST training (a mesh spanning processes) the cache builds
+with the same layouts: row-sharded, each process materializes and uploads
+only the rows its own devices serve along the "data" axis (pod-scale:
+no host ever touches another host's shard); replicated, every process
+uploads the full dataset to its local devices. Both go through
+``jax.make_array_from_callback`` (``jax.device_put`` cannot target
+non-addressable devices). The trainer's cached programs then consume the
+GLOBAL epoch plan (identical on every process — same seeded RNG), so
+batches remain bit-identical to the host-loader multi-process run.
+
 ``build`` returns None (with a logged reason) instead of a cache whenever
 the dataset cannot be cached safely: over the HBM budget in every
-requested layout, multi-host training (each process holds only its
-shard), or a dataset whose ``get_batch`` fails on bulk indexing.
+requested layout, or a dataset whose ``get_batch`` fails on bulk
+indexing.
 """
 
 from __future__ import annotations
@@ -73,6 +83,36 @@ class DeviceDataCache:
     incomplete: bool = flax.struct.field(pytree_node=False, default=False)
     shapes: tuple = flax.struct.field(pytree_node=False, default=())
 
+    def take_rows(self, idx: jnp.ndarray):
+        """Raw row-gather of every leaf (data left FLATTENED 2-D, no
+        shape restore): ``(data, masks, labels)`` with rows ``idx``.
+        The trainer's epoch pre-gather path calls this ONCE per epoch on
+        the whole plan and slices batches out of the result —
+        ``rows_to_batch`` restores shapes per batch."""
+        take = lambda x: jnp.take(x, idx, axis=0)  # noqa: E731
+        return (jax.tree.map(take, self.data),
+                jax.tree.map(take, self.masks),
+                None if self.labels is None else take(self.labels))
+
+    def rows_to_batch(self, rows, weights: jnp.ndarray):
+        """Assemble a ``MultimodalBatch`` from batch-sized raw rows (the
+        output of ``take_rows`` on a batch index row, or a slice of an
+        epoch-wide ``take_rows``)."""
+        from .batch import MultimodalBatch
+
+        data_flat, masks, labels = rows
+        leaves, treedef = jax.tree_util.tree_flatten(data_flat)
+        shapes = self.shapes or tuple(x.shape[1:] for x in leaves)
+        restored = [x.reshape(*x.shape[:-1], *s)
+                    for x, s in zip(leaves, shapes)]
+        return MultimodalBatch(
+            data=jax.tree_util.tree_unflatten(treedef, restored),
+            masks=masks,
+            weights=weights,
+            labels=labels,
+            incomplete=self.incomplete,
+        )
+
     def gather(self, idx: jnp.ndarray, weights: jnp.ndarray):
         """Assemble the jit-internal batch for the given index row.
 
@@ -80,21 +120,7 @@ class DeviceDataCache:
         ``MultimodalBatch`` identical to what the host ``DataLoader``
         would have produced for the same ``epoch_plan`` row.
         """
-        from .batch import MultimodalBatch
-
-        take = lambda x: jnp.take(x, idx, axis=0)  # noqa: E731
-        labels = None if self.labels is None else take(self.labels)
-        leaves, treedef = jax.tree_util.tree_flatten(self.data)
-        shapes = self.shapes or tuple(x.shape[1:] for x in leaves)
-        gathered = [take(x).reshape(*idx.shape, *s)
-                    for x, s in zip(leaves, shapes)]
-        return MultimodalBatch(
-            data=jax.tree_util.tree_unflatten(treedef, gathered),
-            masks=jax.tree.map(take, self.masks),
-            weights=weights,
-            labels=labels,
-            incomplete=self.incomplete,
-        )
+        return self.rows_to_batch(self.take_rows(idx), weights)
 
 
 class DeviceCachedLoader:
@@ -279,11 +305,8 @@ def build_device_cache(dataset, mesh, budget_bytes: int,
         raise ValueError(
             "device cache layout must be 'auto', 'replicated' or "
             f"'sharded', got {layout!r}.")
-    if jax.process_count() > 1:
-        logger.info(
-            "cache_on_device: disabled under multi-host training (each "
-            "process holds only its data shard); using the host loader.")
-        return None
+    multihost = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
     try:
         est = estimate_dataset_nbytes(dataset)
     except Exception as e:
@@ -300,16 +323,38 @@ def build_device_cache(dataset, mesh, budget_bytes: int,
         return None
 
     n = len(dataset)
+    # Host materialization range. Single-host (and multi-host replicated):
+    # the full dataset. Multi-host SHARDED: only the rows this process's
+    # devices own along the "data" axis — the pod-scale path never
+    # materializes (or uploads) rows another host serves.
+    lo, hi = 0, n
+    n_global_rows = n
+    if multihost and layout == "sharded":
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_data = dict(mesh.shape).get("data", mesh.size)
+        n_global_rows = n + ((-n) % n_data)
+        row_sh = NamedSharding(mesh, PartitionSpec("data"))
+        idx_map = row_sh.addressable_devices_indices_map((n_global_rows,))
+        starts, stops = [], []
+        for index in idx_map.values():
+            rs = index[0]
+            starts.append(0 if rs.start is None else rs.start)
+            stops.append(n_global_rows if rs.stop is None else rs.stop)
+        lo, hi = min(starts), max(stops)
     # materialize in chunks (bounds the transient host working set and
     # keeps per-call numpy allocations reasonable for image datasets)
     try:
-        parts = [dataset.get_batch(np.arange(s, min(s + chunk, n)))
-                 for s in range(0, n, chunk)]
+        parts = [dataset.get_batch(np.arange(s, min(s + chunk, min(hi, n))))
+                 for s in range(lo, min(hi, n), chunk)]
     except Exception as e:
         logger.warning(
             "cache_on_device: dataset failed bulk indexing (%s); using "
             "the host loader.", e)
         return None
+    if not parts:  # pragma: no cover - a process owning only pad rows
+        parts = [dataset.get_batch(np.asarray([0]))]
+        parts[0] = jax.tree.map(lambda x: np.asarray(x)[:0], parts[0])
 
     def cat(path_values):
         return np.concatenate([np.asarray(v) for v in path_values], axis=0)
@@ -331,6 +376,34 @@ def build_device_cache(dataset, mesh, budget_bytes: int,
 
     if mesh.size == 1:
         put = jnp.asarray  # uncommitted (axon fast path)
+    elif multihost:
+        # jax.device_put cannot target non-addressable devices;
+        # make_array_from_callback asks each process only for ITS shards
+        # (global row index -> local block, zero rows past the dataset).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if layout == "sharded":
+            sharding = NamedSharding(mesh, PartitionSpec("data"))
+        else:
+            from ..parallel.mesh import replicated_sharding
+
+            sharding = replicated_sharding(mesh)
+
+        def put(x):
+            x = np.asarray(x)
+            gshape = (n_global_rows,) + x.shape[1:]
+
+            def cb(index):
+                rs = index[0]
+                start = 0 if rs.start is None else rs.start
+                stop = gshape[0] if rs.stop is None else rs.stop
+                block = np.zeros((stop - start,) + x.shape[1:], x.dtype)
+                s0, s1 = max(start, lo), min(stop, lo + x.shape[0])
+                if s1 > s0:
+                    block[s0 - start: s1 - start] = x[s0 - lo: s1 - lo]
+                return block
+
+            return jax.make_array_from_callback(gshape, sharding, cb)
     elif layout == "sharded":
         from jax.sharding import NamedSharding, PartitionSpec
 

@@ -82,13 +82,24 @@ class DataLoader:
         device-resident cache path uploads it and gathers on device, so
         both paths see bit-identical batches by construction.
         """
+        local = self.per_process_batch
+        return self._plan(self.process_index * local, local)
+
+    def global_epoch_plan(self) -> tuple:
+        """The epoch plan at GLOBAL batch width, identical on every
+        process (the permutation derives from the shared seed alone).
+        Multi-host device-cache programs consume this: the cache holds
+        global rows and the jitted gather produces the global batch
+        sharded over the mesh's "data" axis, so each device still only
+        computes its slice. Single-process, equals ``epoch_plan``."""
+        return self._plan(0, self.batch_size)
+
+    def _plan(self, lo: int, width: int) -> tuple:
         perm = self._epoch_permutation()
         bs = self.batch_size
         n_batches = len(self)
-        local = self.per_process_batch
-        lo = self.process_index * local
-        idx_rows = np.empty((n_batches, local), dtype=np.int32)
-        w_rows = np.ones((n_batches, local), dtype=np.float32)
+        idx_rows = np.empty((n_batches, width), dtype=np.int32)
+        w_rows = np.ones((n_batches, width), dtype=np.float32)
         for b in range(n_batches):
             idx = perm[b * bs: (b + 1) * bs]
             pad = bs - len(idx)
@@ -97,11 +108,11 @@ class DataLoader:
                 # pads carry zero weight
                 idx = np.concatenate([idx, np.resize(perm, pad)])
             # carve out this process's slice of the global batch
-            idx_rows[b] = idx[lo: lo + local]
+            idx_rows[b] = idx[lo: lo + width]
             if pad:
                 weights = np.ones(bs, dtype=np.float32)
                 weights[bs - pad:] = 0.0
-                w_rows[b] = weights[lo: lo + local]
+                w_rows[b] = weights[lo: lo + width]
         return idx_rows, w_rows
 
     def __iter__(self) -> Iterator[MultimodalBatch]:

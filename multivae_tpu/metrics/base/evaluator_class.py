@@ -68,7 +68,14 @@ class Evaluator:
             budget = int(getattr(eval_config, "device_cache_budget_gb",
                                  8.0) * 1e9)
             mesh = self.mesh if self.mesh is not None else get_data_mesh(1)
-            cache = build_device_cache(test_dataset, mesh, budget)
+            import jax
+
+            multihost = any(d.process_index != jax.process_index()
+                            for d in mesh.devices.flat)
+            # evaluator sweeps are per-process host loops (only the
+            # TRAINER's cached programs consume global multi-host plans)
+            cache = (None if multihost
+                     else build_device_cache(test_dataset, mesh, budget))
             if cache is not None:
                 self.test_loader = DeviceCachedLoader(self.test_loader,
                                                       cache, mesh=mesh)

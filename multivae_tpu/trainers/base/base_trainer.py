@@ -515,7 +515,25 @@ class BaseTrainer:
         """Tiny per-epoch host arrays (index/weight plans) -> device."""
         if self.mesh.size == 1 and jax.process_count() == 1:
             return jnp.asarray(x)  # uncommitted (axon fast path)
-        return jax.device_put(x, replicated_sharding(self.mesh))
+        rep = replicated_sharding(self.mesh)
+        if jax.process_count() == 1:
+            return jax.device_put(x, rep)
+        # multi-host: device_put cannot target non-addressable devices;
+        # every process passes the SAME host value (plans derive from the
+        # shared seed) and contributes its local replicas.
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, rep,
+                                            lambda index: x[index])
+
+    def _cache_plan_rows(self, loader) -> np.ndarray:
+        """Index rows the cached device programs consume for ``loader``'s
+        current epoch: the GLOBAL plan under multi-host (the device cache
+        holds global rows; the in-step gather emits the global batch
+        sharded over "data"), the process plan otherwise (identical when
+        single-process)."""
+        if loader.num_processes > 1:
+            return loader.global_epoch_plan()[0]
+        return loader.epoch_plan()[0]
 
     def _gather_fn(self):
         """In-graph batch assembly from the device cache for batch ``b``
@@ -538,11 +556,15 @@ class BaseTrainer:
         """Per-batch sample weights computed IN-GRAPH from the loader's
         static geometry — bit-identical to ``epoch_plan``'s weight rows
         (zeros exactly on the final batch's wrap-around padding columns)
-        without uploading anything."""
+        without uploading anything. Multi-host: global-width rows to
+        match ``_cache_plan_rows``'s global plans."""
         n_batches = len(loader)
         bs_global = loader.batch_size
-        local = loader.per_process_batch
-        lo = loader.process_index * local
+        if loader.num_processes > 1:
+            local, lo = bs_global, 0
+        else:
+            local = loader.per_process_batch
+            lo = loader.process_index * local
         pad = 0 if loader.drop_last else n_batches * bs_global - len(
             loader.dataset)
         cols = jnp.arange(local) + lo  # global column indices
@@ -783,7 +805,7 @@ class BaseTrainer:
         if dev is None:
             if not loader.shuffle:
                 loader.set_epoch(epoch)
-                idx_mat, _ = loader.epoch_plan()
+                idx_mat = self._cache_plan_rows(loader)
                 dev = self._cache_put(idx_mat)
                 self._plan_cache[key] = dev
                 return dev
@@ -796,8 +818,7 @@ class BaseTrainer:
             mats = []
             for e in epochs:
                 loader.set_epoch(e)
-                m, _ = loader.epoch_plan()
-                mats.append(m)
+                mats.append(self._cache_plan_rows(loader))
             block = self._cache_put(np.stack(mats))
             # Unstack in ONE jitted program — eager per-epoch slicing
             # costs a tunnel round trip per slice (~35 ms each).
@@ -935,15 +956,14 @@ class BaseTrainer:
             dev = self._plan_cache.get(key)
             if dev is None:
                 loader.set_epoch(epochs[0])
-                m, _ = loader.epoch_plan()
+                m = self._cache_plan_rows(loader)
                 dev = self._cache_put(np.stack([m] * len(epochs)))
                 self._plan_cache[key] = dev
             return dev
         mats = []
         for e in epochs:
             loader.set_epoch(e)
-            m, _ = loader.epoch_plan()
-            mats.append(m)
+            mats.append(self._cache_plan_rows(loader))
         return self._cache_put(np.stack(mats))
 
     def _run_cached_train_epoch_block(self, epochs):
@@ -1014,7 +1034,7 @@ class BaseTrainer:
         rep = replicated_sharding(self.mesh)
         params0 = jax.jit(lambda t: jax.tree.map(jnp.copy, t),
                           out_shardings=self._params_sharding(rep))(base)
-        return (jax.device_put(loss0, rep), params0)
+        return (self._cache_put(loss0), params0)
 
     def _materialize_block_best(self):
         """Refresh host-visible best state from the device carry at

@@ -65,25 +65,69 @@ class Collector(TrainingCallback):
         self.losses.append(float(logs["train_epoch_loss"]))
 
 
-collector = Collector()
+def run_training(tag, **extra_cfg):
+    m = MVTCAE(MVTCAEConfig(n_modalities=2, latent_dim=4,
+                            input_dims={"mod1": (2,), "mod2": (3,)}),
+               seed=0)
+    collector = Collector()
+    cfg = BaseTrainerConfig(
+        output_dir=os.path.join(outdir, f"proc{pid}_{tag}"), num_epochs=2,
+        per_device_train_batch_size=4, per_device_eval_batch_size=4,
+        learning_rate=1e-3, seed=3, n_devices=8, **extra_cfg,
+    )
+    tr = BaseTrainer(m, dataset, eval_dataset=None,
+                     training_config=cfg, callbacks=[collector])
+    tr.train()
+    return tr, collector.losses
+
+
 cfg = BaseTrainerConfig(
-    output_dir=os.path.join(outdir, f"proc{pid}"), num_epochs=2,
+    output_dir=os.path.join(outdir, f"probe{pid}"), num_epochs=2,
     per_device_train_batch_size=4, per_device_eval_batch_size=4,
     learning_rate=1e-3, seed=3, n_devices=8,
 )
-trainer = BaseTrainer(model, dataset, eval_dataset=None,
-                      training_config=cfg, callbacks=[collector])
+probe = BaseTrainer(model, dataset, eval_dataset=None, training_config=cfg)
 # the loader really is process-sharded: each process materializes only
 # its half of every global batch
-assert trainer.train_loader.num_processes == 2
-assert trainer.train_loader.process_index == pid
-b = next(iter(trainer.train_loader))
+assert probe.train_loader.num_processes == 2
+assert probe.train_loader.process_index == pid
+b = next(iter(probe.train_loader))
 assert b.data["mod1"].shape[0] == 16  # local half of the 32-row batch
-trainer.train()
+del probe
+
+trainer, host_losses = run_training("host")
+
+# MULTI-HOST DEVICE CACHE (VERDICT r4 task #2): both layouts must build,
+# train through the cached scan programs, and match the host-loader
+# multi-process run. Same contract as the pinned single-host equality
+# (test_device_cache.py): batches are bit-identical by construction
+# (shared epoch_plan) but the fused gather+scan program may reassociate
+# the loss REDUCTION at fp32 roundoff — tolerances are roundoff-level.
+cached_results = {}
+for layout in ("sharded", "replicated"):
+    tr_c, cached_losses = run_training(
+        "cache_" + layout, cache_on_device=True, steps_per_execution=2,
+        device_cache_layout=layout)
+    assert tr_c._train_cache is not None, f"{layout} cache did not build"
+    if layout == "sharded":
+        # each process holds only HALF the rows of each cache leaf
+        leaf = jax.tree.leaves(tr_c._train_cache.data)[0]
+        local_rows = sum(s.data.shape[0] for s in leaf.addressable_shards)
+        assert local_rows == 32, local_rows  # 64 rows over 2 processes
+    for a, b in zip(cached_losses, host_losses):
+        assert abs(a - b) <= 1e-5 * abs(b), (layout, cached_losses,
+                                             host_losses)
+    cflat = [np.asarray(x).ravel()
+             for x in jax.tree.leaves(tr_c.state.params)]
+    cached_results[layout] = {
+        "losses": cached_losses,
+        "params_sum": float(np.concatenate(cflat).astype(np.float64).sum()),
+    }
 
 flat = [np.asarray(x).ravel() for x in jax.tree.leaves(trainer.state.params)]
-out = {"pid": pid, "losses": collector.losses,
-       "params_sum": float(np.concatenate(flat).astype(np.float64).sum())}
+out = {"pid": pid, "losses": host_losses,
+       "params_sum": float(np.concatenate(flat).astype(np.float64).sum()),
+       "cached": cached_results}
 if pid == 0:
     np.savez(os.path.join(outdir, "params0.npz"),
              *[np.asarray(x) for x in jax.tree.leaves(trainer.state.params)])
@@ -133,6 +177,10 @@ def test_two_process_dp_train_matches_single_process(tmp_path):
     # both processes observe the identical run
     assert results[0]["losses"] == results[1]["losses"]
     assert results[0]["params_sum"] == results[1]["params_sum"]
+    # ... including both cached-layout runs (bit-identical across
+    # processes: one SPMD program, shared cache + global plans)
+    assert results[0]["cached"] == results[1]["cached"]
+    assert set(results[0]["cached"]) == {"sharded", "replicated"}
 
     # single-process 8-device control (the test session's own backend is
     # the 8-virtual-device CPU config from conftest)
