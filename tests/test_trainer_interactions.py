@@ -236,6 +236,24 @@ SCENARIOS = [
      True),
     ("resume_eval_best", dict(with_eval=True),
      dict(cache_on_device=True, steps_per_execution=100), True),
+    # --- tensor-parallel squares (VERDICT r4 #8): TP lives in the
+    # SEMANTIC config (its matmul partitioning reorders reductions, so
+    # the baseline must share it); what the square isolates is the
+    # device cache + fused blocks + resume machinery on a 2-D
+    # (data=2, model=2) mesh — cache shardings at the jit boundary,
+    # restore into TARGET shardings.
+    ("tp_cache_fused", dict(n_devices=2, n_model_devices=2),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     False),
+    ("resume_tp_cache_fused", dict(n_devices=2, n_model_devices=2),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     True),
+    ("resume_tp_sharded_cache", dict(n_devices=2, n_model_devices=2),
+     dict(cache_on_device=True, steps_per_execution=100,
+          device_cache_layout="sharded"),
+     True),
 ]
 
 
@@ -278,3 +296,78 @@ def test_microbatch_fused_blocks_square(tmp_path, tmp_path_factory, resume):
                pipeline_epochs=True, pipeline_depth=2,
                steps_per_execution=100)
     _assert_equal_run(got, want, check_best=False)
+
+
+# --------------------------------------------------- multistage squares
+# The MultistageTrainer's ``prepare_train_step`` hook auto-disables
+# pipelining, so multistage x cache runs the cached SYNCHRONOUS path;
+# the square isolates the stage boundary over a LIVE device cache: the
+# stage flip calls ``_invalidate_compiled()`` (the chunk programs are
+# rebuilt against the existing cache's shardings), the optimizer reset
+# restores best params mid-run, and the boundary checkpoint doubles as
+# the resume point. Reference semantics:
+# ``src/multivae/trainers/multistage/multistage_trainer.py:53-71``.
+def _run_multistage(tmp_path, tag, *, resume=False, **cfg_kw):
+    from multivae_tpu.models import TELBO, TELBOConfig
+    from multivae_tpu.trainers import (
+        MultistageTrainer,
+        MultistageTrainerConfig,
+    )
+
+    dataset = _dataset()
+    cfg = dict(
+        output_dir=str(tmp_path / tag), num_epochs=N_EPOCHS,
+        per_device_train_batch_size=8, per_device_eval_batch_size=8,
+        learning_rate=1e-3, seed=3, n_devices=1,
+    )
+    cfg.update(cfg_kw)
+
+    def build():
+        model = TELBO(TELBOConfig(
+            n_modalities=2, latent_dim=4,
+            input_dims={"mod1": (2,), "mod2": (3,)}, warmup=3), seed=0)
+        return MultistageTrainer(
+            model, dataset, eval_dataset=dataset,
+            training_config=MultistageTrainerConfig(**cfg))
+
+    trainer = build()
+    assert not trainer._pipeline_epochs_eligible()
+    trainer.train()
+    # TELBO: reset_optimizer_epochs = [warmup] = [3], which saves the
+    # pre-reset snapshot labelled epoch 2; stage 2 starts at epoch 4.
+    boundary_ckpt = os.path.join(trainer.training_dir, "checkpoint_epoch_2")
+    assert os.path.isdir(boundary_ckpt), (
+        "the optimizer reset (epoch warmup = 3) saves epoch 2")
+    if resume:
+        # resume from the boundary checkpoint the straight run saved:
+        # the optimizer reset (epoch 3) and the stage switch (epoch 4)
+        # replay INSIDE the resumed run, over a freshly-built cache
+        t2 = build()
+        trainer = MultistageTrainer(
+            t2.model, dataset, eval_dataset=dataset,
+            training_config=t2.training_config, checkpoint=boundary_ckpt)
+        assert trainer.trained_epochs == 2
+        trainer.train()
+        assert t2.model.current_stage == 2
+    return {
+        "params": jax.tree.leaves(trainer.state.params),
+        "best": (jax.tree.leaves(trainer.best_params)
+                 if trainer._best_params is not None else None),
+        "trainer": trainer,
+    }
+
+
+@pytest.mark.parametrize("resume", [False, True],
+                         ids=["straight", "resume"])
+def test_multistage_cache_square(tmp_path, tmp_path_factory, resume):
+    key = ("kind", "telbo_multistage")
+    if key not in _BASELINES:
+        base = tmp_path_factory.mktemp("baseline_telbo")
+        _BASELINES[key] = _run_multistage(base, "sync",
+                                          cache_on_device=False,
+                                          pipeline_epochs=False)
+    want = _BASELINES[key]
+    got = _run_multistage(tmp_path, f"ms{resume}", resume=resume,
+                          cache_on_device=True, steps_per_execution=100)
+    assert got["trainer"]._train_cache is not None
+    _assert_equal_run(got, want, check_best=True)
