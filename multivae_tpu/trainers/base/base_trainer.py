@@ -688,23 +688,27 @@ class BaseTrainer:
             return (best_loss, best_params), took
 
         def block_best_fn(state, best, cache, idx_block, first_epoch):
-            epochs_vec = first_epoch + jnp.arange(n_epochs,
-                                                  dtype=jnp.float32)
-
-            def epoch_body(carry, per_epoch):
-                state, best = carry
-                idx_mat, epoch = per_epoch
+            """Python-UNROLLED outer loop: n_epochs top-level step scans
+            with the best-select between them. Not a nested lax.scan
+            (the while-in-while tax, see ``block_fn``) and not a flat
+            scan (the per-epoch params select would cost a full params
+            copy per STEP inside one). Measured on the v5e
+            (``scripts/ab_tracking_block.py``, depth 8): 314.8 ->
+            205.8 us/step for +23% compile (26.5 -> 32.8 s) — the
+            cloned epoch bodies compile nearly free because XLA
+            deduplicates the repeated computations."""
+            rows = []
+            sums = None
+            for e in range(n_epochs):
+                epoch = first_epoch + jnp.float32(e)
                 state, sums, packed = window_fn(
-                    state, cache, idx_mat, jnp.int32(0), epoch)
+                    state, cache, idx_block[e], jnp.int32(0), epoch)
                 best, took = epoch_tail(best, state, epoch, packed)
-                packed = jnp.concatenate(
-                    [packed, took.astype(jnp.float32)[None]])
-                return (state, best), (packed, sums)
-
-            (state, best), (packed_rows, sums) = jax.lax.scan(
-                epoch_body, (state, best), (idx_block, epochs_vec))
-            return state, best, packed_rows, jax.tree.map(
-                lambda x: x[-1], sums)
+                rows.append(jnp.concatenate(
+                    [packed, took.astype(jnp.float32)[None]]))
+            # sums: only the pytree STRUCTURE is consumed (metric key
+            # order of the packed columns) — the last epoch's tree
+            return state, best, jnp.stack(rows), sums
 
         def block_fn(state, cache, idx_block, first_epoch):
             """ONE flat scan over all n_epochs*n_batches steps, with the
@@ -716,9 +720,9 @@ class BaseTrainer:
             ``scripts/ab_block_vs_bare.py``) — a depth-1 outer scan
             costs nothing, so the tax is while-in-while pipelining, not
             the epoch bookkeeping. The best-tracking variant below
-            keeps the nested shape (it needs a params-tree select at
-            each epoch boundary, which a flat scan would pay per step).
-            """
+            unrolls the outer loop instead (it needs a params-tree
+            select at each epoch boundary, which a flat scan would pay
+            per step)."""
             n_batches = len(self.train_loader)
             n_total = n_epochs * n_batches
             idx_flat = idx_block.reshape(n_total, *idx_block.shape[2:])
