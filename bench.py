@@ -427,10 +427,13 @@ def bench_mvtcae_conv(n_steps=10, mixed=False):
     return (time.perf_counter() - t0) / (n_steps * 10), flops
 
 
-def _e2e_setup(n_epochs, depth, out_dir, extra_callbacks=()):
+def _e2e_setup(n_epochs, depth, out_dir, extra_callbacks=(),
+               eval_batches=0):
     """Shared trainer construction for the e2e + soak rows: MVTCAE at
     the headline scale, 200-step epochs, device cache, fused depth-8
-    epoch blocks (see ``bench_trainer_e2e``)."""
+    epoch blocks (see ``bench_trainer_e2e``). ``eval_batches > 0`` adds
+    an eval set of that many batches (fused train+eval blocks with
+    in-graph best-on-eval tracking — the reference's common config)."""
     from multivae_tpu.data import MultimodalBaseDataset
     from multivae_tpu.models import MVTCAE, MVTCAEConfig
     from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
@@ -440,6 +443,11 @@ def _e2e_setup(n_epochs, depth, out_dir, extra_callbacks=()):
     data = {m: rng.uniform(size=(n_samples, *d)).astype(np.float32)
             for m, d in DIMS.items()}
     ds = MultimodalBaseDataset(data)
+    eval_ds = None
+    if eval_batches:
+        eval_ds = MultimodalBaseDataset(
+            {m: rng.uniform(size=(BATCH * eval_batches, *d))
+             .astype(np.float32) for m, d in DIMS.items()})
     model = MVTCAE(MVTCAEConfig(
         n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
         decoders_dist={m: "bernoulli" for m in DIMS},
@@ -451,16 +459,21 @@ def _e2e_setup(n_epochs, depth, out_dir, extra_callbacks=()):
         n_devices=1, cache_on_device=True, pipeline_depth=depth,
         steps_per_execution=2 if SMOKE else 200,
     )
-    trainer = BaseTrainer(model, ds, training_config=cfg,
+    trainer = BaseTrainer(model, ds, eval_dataset=eval_ds,
+                          training_config=cfg,
                           callbacks=list(extra_callbacks))
     assert trainer._train_cache is not None, "device cache failed to build"
     assert trainer._pipeline_epochs_eligible(), "pipelining unexpectedly off"
     assert SMOKE or trainer._fused_epoch_blocks_eligible(), \
         "fused epoch blocks unexpectedly ineligible"
+    if eval_batches:
+        assert trainer._eval_cache is not None, "eval cache failed to build"
+        assert SMOKE or trainer._block_eval_fused, \
+            "train+eval block fusion unexpectedly off"
     return trainer, cfg
 
 
-def bench_trainer_e2e(n_epochs=64):
+def bench_trainer_e2e(n_epochs=64, eval_batches=0):
     """END-TO-END ``trainer.train()`` epochs at the headline scale: the
     loop a USER runs — callbacks, metric accumulation, NaN guards,
     best-model tracking, logging — with the device-resident dataset
@@ -499,8 +512,11 @@ def bench_trainer_e2e(n_epochs=64):
             self.log_times.append(time.perf_counter())
 
     timer = _Timer()
+    if SMOKE and eval_batches:
+        eval_batches = 1
     trainer, cfg = _e2e_setup(n_epochs, depth, "/tmp/bench_e2e",
-                              extra_callbacks=[timer])
+                              extra_callbacks=[timer],
+                              eval_batches=eval_batches)
 
     # --- instrument: launch count + flush (fetch + host finalize) time
     launches = {"n": 0}
@@ -546,7 +562,10 @@ def bench_trainer_e2e(n_epochs=64):
         float(add_one(probe_x))
         rts.append(time.perf_counter() - t0)
     host_rt_probe_ms = float(np.median(rts) * 1000)
-    path = ("fused_blocks"
+    path = ("fused_eval_blocks"
+            if any(isinstance(k, tuple) and k[0] == "block_eval"
+                   for k in trainer._cached_train_fns)
+            else "fused_blocks"
             if any(isinstance(k, tuple) and k[0] == "block"
                    for k in trainer._cached_train_fns)
             else "pipelined")
@@ -1109,6 +1128,7 @@ def main():
     jax_sps_bf16, mlp_flops_bf16 = r2(run(bench_jax, mixed_precision=True))
     torch_sps = run(bench_torch_reference_style)
     e2e = run(bench_trainer_e2e) or {}
+    e2e_ev = run(bench_trainer_e2e, n_epochs=32, eval_batches=40) or {}
     soak = run(bench_trainer_soak) or {}
     e2e_sps = e2e.get("steps_per_sec")
     nll_jax_s = run(bench_nll_jax)
@@ -1155,6 +1175,14 @@ def main():
         "trainer_e2e_flush_ms_median": rnd(e2e.get("flush_ms_median"), 1),
         "trainer_e2e_n_windows": e2e.get("n_windows"),
         "trainer_e2e_host_rt_probe_ms": e2e.get("host_rt_probe_ms"),
+        # e2e WITH an eval set (the reference's common config): 40 eval
+        # batches per 200-step epoch, eval pass + per-epoch rng +
+        # best-on-eval select all inside the fused block program
+        # (train steps/s; each epoch also runs the full eval pass)
+        "trainer_e2e_eval_steps_per_sec": rnd(e2e_ev.get("steps_per_sec")),
+        "trainer_e2e_eval_path": e2e_ev.get("path"),
+        "trainer_e2e_eval_epoch_ms_median": rnd(
+            e2e_ev.get("epoch_ms_median"), 1),
         # sustained soak (50 fused blocks): last/first window-median
         # rate >= 0.95 == no progressive slowdown; RSS delta == no
         # host-side leak over ~80k steps

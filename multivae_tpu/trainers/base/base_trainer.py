@@ -781,16 +781,110 @@ class BaseTrainer:
         self._cached_train_fns[key] = fn
         return fn
 
-    def _compiled_cached_eval_chunk(self, n_steps: int):
-        key = n_steps
-        if key in self._cached_eval_fns:
-            return self._cached_eval_fns[key]
+    def _compiled_cached_train_eval_block(self, n_epochs: int):
+        """One dispatch running ``n_epochs`` whole (train epoch -> eval
+        epoch -> best-model select) cycles — the COMMON configuration
+        (an eval set) at fused-block launch rates. Python-unrolled
+        outer loop (nested scans pay the v5e while-in-while tax, flat
+        scans can't afford the per-epoch params select — see
+        ``block_fn``/``block_best_fn``). The eval pass runs in-graph on
+        the post-epoch params under the SAME per-epoch rng the host
+        eval loop derives (the epoch keys come in as key DATA built
+        host-side with ``jax.random.key(seed + 1000 + epoch)``, so the
+        device consumes bit-identical randomness), and the best-model
+        decision is the reference's epoch tail
+        (``src/multivae/trainers/base/base_trainer.py:480-577``: the
+        warmup window always snaps, then eval-loss improvement — or
+        train-loss when ``keep_best_on_train``) evaluated in f32 on
+        device. Returns per-epoch packed train rows, packed eval rows
+        with a trailing 0/1 "took" column, and both sums trees (their
+        STRUCTURE gives the metric key order)."""
+        key = ("block_eval", n_epochs)
+        if key in self._cached_train_fns:
+            return self._cached_train_fns[key]
+        train_window = self._train_window_fn(len(self.train_loader))
+        eval_window = self._eval_window_fn(len(self.eval_loader))
+        kbt = bool(self.training_config.keep_best_on_train)
+        warm_until = float(self.start_keep_best_epoch)
+        n_tr = float(len(self.train_dataset))
+        n_ev = float(len(self.eval_dataset))
+
+        def epoch_tail(best, state, epoch, packed_tr, packed_ev):
+            """Mirror of _finalize_epoch_host's tracking branch with an
+            eval set: warmup epochs always snap; afterwards the snap is
+            on strict improvement of the comparison loss (eval loss, or
+            train loss under keep_best_on_train)."""
+            best_loss, best_params = best
+            cmp_loss = (packed_tr[0] / jnp.float32(n_tr) if kbt
+                        else packed_ev[0] / jnp.float32(n_ev))
+            warm = epoch <= jnp.float32(warm_until)
+            improved = jnp.logical_and(epoch > jnp.float32(warm_until),
+                                       cmp_loss < best_loss)
+            took = jnp.logical_or(warm, improved)
+            best_loss = jnp.where(improved, cmp_loss, best_loss)
+            best_params = jax.tree.map(
+                lambda p, bp: jnp.where(took, p, bp),
+                state.params, best_params)
+            return (best_loss, best_params), took
+
+        def block_fn(state, best, tcache, ecache, idx_tr, idx_ev,
+                     eval_keys, first_epoch):
+            # eval_keys is the WHOLE-RUN (num_epochs, key_size) table,
+            # uploaded once (a per-block device_put would queue behind
+            # the in-flight previous block on the serialized tunnel);
+            # each epoch slices its own row.
+            first_i = first_epoch.astype(jnp.int32)
+            rows_t, rows_e = [], []
+            tsums = esums = None
+            for e in range(n_epochs):
+                epoch = first_epoch + jnp.float32(e)
+                state, tsums, packed_t = train_window(
+                    state, tcache, idx_tr[e], jnp.int32(0), epoch)
+                rng = jax.random.wrap_key_data(
+                    jax.lax.dynamic_index_in_dim(
+                        eval_keys, first_i + (e - 1), keepdims=False))
+                esums, packed_e = eval_window(
+                    state.params, ecache, idx_ev[e], jnp.int32(0), rng,
+                    epoch)
+                best, took = epoch_tail(best, state, epoch, packed_t,
+                                        packed_e)
+                rows_t.append(packed_t)
+                rows_e.append(jnp.concatenate(
+                    [packed_e, took.astype(jnp.float32)[None]]))
+            # sums trees: only the pytree STRUCTURE is consumed (metric
+            # key order of the packed columns) — the last epoch's trees
+            return (state, best, jnp.stack(rows_t), jnp.stack(rows_e),
+                    tsums, esums)
+
+        if self.mesh.size == 1:
+            fn = jax.jit(block_fn, donate_argnums=(0, 1))
+        else:
+            rep = replicated_sharding(self.mesh)
+            state_sh = self._state_sharding(rep)
+            tcache_sh = jax.tree.map(lambda x: x.sharding,
+                                     self._train_cache)
+            ecache_sh = jax.tree.map(lambda x: x.sharding,
+                                     self._eval_cache)
+            best_sh = (rep, self._params_sharding(rep))
+            fn = jax.jit(
+                block_fn, donate_argnums=(0, 1),
+                in_shardings=(state_sh, best_sh, tcache_sh, ecache_sh,
+                              rep, rep, rep, rep),
+                out_shardings=(state_sh, best_sh, rep, rep, rep, rep),
+            )
+        self._cached_train_fns[key] = fn
+        return fn
+
+    def _eval_window_fn(self, n_steps: int):
+        """UNJITTED eval window shared by the cached eval chunk and the
+        fused train+eval block: scan ``n_steps`` eval batches from plan
+        row ``start`` under one epoch rng, returning ``(sums, packed)``."""
         eval_body = self._build_eval_body()
         gather = self._gather_fn()
         weights_for = self._in_graph_weights(self.eval_loader)
         dataset_size = float(len(self.eval_dataset))
 
-        def chunk_fn(params, cache, idx_mat, start, rng, epoch):
+        def window_fn(params, cache, idx_mat, start, rng, epoch):
             def body(_, i):
                 b = start + i
                 # mirrors the host eval loop: one rng for the whole
@@ -807,6 +901,14 @@ class BaseTrainer:
                                    jnp.arange(n_steps, dtype=jnp.int32))
             sums = jax.tree.map(lambda x: jnp.sum(x, axis=0), outs)
             return sums, _packed_scalars_in_graph(sums)
+
+        return window_fn
+
+    def _compiled_cached_eval_chunk(self, n_steps: int):
+        key = n_steps
+        if key in self._cached_eval_fns:
+            return self._cached_eval_fns[key]
+        chunk_fn = self._eval_window_fn(n_steps)
 
         if self.mesh.size == 1:
             fn = jax.jit(chunk_fn)
@@ -951,41 +1053,52 @@ class BaseTrainer:
     @property
     def _block_best_tracking(self) -> bool:
         """Best-model tracking that the fused-block program can carry
-        IN-GRAPH: ``keep_best_on_train`` or a ``start_keep_best_epoch``
-        warmup window, with no eval set (eval-loss tracking needs the
-        eval pass, which disables block fusion anyway)."""
-        return (self.eval_dataset is None
-                and (self.training_config.keep_best_on_train
-                     or self.start_keep_best_epoch >= 1))
+        IN-GRAPH: an eval set (the train+eval block tracks the eval
+        loss — the reference's default criterion), or, without one,
+        ``keep_best_on_train`` / a ``start_keep_best_epoch`` warmup
+        window."""
+        return (self.eval_dataset is not None
+                or self.training_config.keep_best_on_train
+                or self.start_keep_best_epoch >= 1)
+
+    @property
+    def _block_eval_fused(self) -> bool:
+        """Whether fused blocks run the train+eval program (an eval set
+        whose cache built and whose epoch fits one chunk)."""
+        return (self.eval_dataset is not None
+                and self._eval_cache is not None
+                and (self.training_config.steps_per_execution
+                     >= len(self.eval_loader)))
 
     def _fused_epoch_blocks_eligible(self) -> bool:
-        """Whole-epoch-block fusion (``_compiled_cached_train_block``)
-        needs: the device cache, full-epoch chunks, and NO per-epoch
-        host decision — no eval pass interleaving and no model
-        ``update`` hook. Train-loss best-model tracking is NOT a host
-        decision anymore: the block program carries
-        ``(best_train_loss, best_params)`` in-graph
-        (``_block_best_tracking``), so ``keep_best_on_train`` and
-        warmup-window configs fuse too. Each distinct block length is
-        its own whole-model XLA compile (expensive on this box), so
-        short runs — under two pipeline depths of remaining epochs —
-        stay on the per-epoch program, whose single chunk compile they
-        need anyway."""
+        """Whole-epoch-block fusion (``_compiled_cached_train_block`` /
+        ``_compiled_cached_train_eval_block``) needs: the device
+        cache(s), full-epoch chunks, and NO per-epoch host decision —
+        no model ``update`` hook (schedulers/subclass hooks are already
+        excluded by ``_pipeline_epochs_eligible``). Best-model tracking
+        is NOT a host decision anymore: the block program carries
+        ``(best_loss, best_params)`` in-graph (``_block_best_tracking``)
+        — eval-loss tracking via the train+eval block, train-loss /
+        warmup-window tracking via the train-only block. Each distinct
+        block length is its own whole-model XLA compile (expensive on
+        this box), so short runs — under two pipeline depths of
+        remaining epochs — stay on the per-epoch program, whose single
+        chunk compile they need anyway."""
         cfg = self.training_config
         remaining = cfg.num_epochs - self.trained_epochs
         return (self._train_cache is not None
-                and self.eval_dataset is None
+                and (self.eval_dataset is None or self._block_eval_fused)
                 and type(self.model).update is BaseModel.update
                 and cfg.steps_per_execution >= len(self.train_loader)
                 and remaining >= 2 * max(1, cfg.pipeline_depth))
 
-    def _upload_epoch_plan_block(self, loader, epochs):
+    def _upload_epoch_plan_block(self, loader, epochs, which="train"):
         """Stacked (E, n_batches, B) device plan for a fused epoch
         block. shuffle=False loaders reuse ONE uploaded stack per block
         length for the whole run (every epoch's plan is identical);
         shuffled blocks are single-use and uploaded fresh."""
         if not loader.shuffle:
-            key = ("train_block", len(epochs))
+            key = (which + "_block", len(epochs))
             dev = self._plan_cache.get(key)
             if dev is None:
                 loader.set_epoch(epochs[0])
@@ -1001,17 +1114,47 @@ class BaseTrainer:
 
     def _run_cached_train_epoch_block(self, epochs):
         """Dispatch ``len(epochs)`` whole epochs as ONE launch. Returns
-        ``(packed_rows, keys)``: a device (E, 1+n_metrics) scalar matrix
-        (one row per epoch, fetched later in one transfer; with in-graph
-        best tracking a trailing 0/1 "took" column is appended) and the
-        metric key order of its columns."""
+        ``(packed_rows, keys, eval_rows, ekeys)``: a device
+        (E, 1+n_metrics) scalar matrix per pass (one row per epoch,
+        fetched later in one transfer; the 0/1 "took" tracking column
+        trails the train rows — or the eval rows in train+eval mode)
+        and the metric key order of the columns. ``eval_rows``/``ekeys``
+        are None without an eval set."""
         idx_block = self._upload_epoch_plan_block(self.train_loader, epochs)
-        fn = self._compiled_cached_train_block(len(epochs))
-        if self._block_best_tracking:
+        eval_rows = ekeys = None
+        if self._block_eval_fused:
+            idx_eval = self._upload_epoch_plan_block(
+                self.eval_loader, epochs, which="eval")
+            # the SAME per-epoch keys the host eval loop derives
+            # (_run_cached_eval_epoch), shipped ONCE as a whole-run key
+            # table (epoch e -> row e-1); the block slices its rows
+            ekey_data = self._plan_cache.get("eval_keys")
+            if ekey_data is None:
+                seed = self.training_config.seed
+                ekey_data = self._cache_put(np.stack([
+                    np.asarray(jax.random.key_data(
+                        jax.random.key(seed + 1000 + e)))
+                    for e in range(1, self.training_config.num_epochs + 1)]))
+                self._plan_cache["eval_keys"] = ekey_data
+            fn = self._compiled_cached_train_eval_block(len(epochs))
+            (self.state, self._block_best, packed_rows, eval_rows,
+             sums, esums) = fn(
+                self.state, self._block_best, self._train_cache,
+                self._eval_cache, idx_block, idx_eval, ekey_data,
+                np.float32(epochs[0]))
+            ekeys = sorted(esums["metrics"])
+            if hasattr(eval_rows, "copy_to_host_async"):
+                try:
+                    eval_rows.copy_to_host_async()
+                except Exception:  # pragma: no cover - optional hint
+                    pass
+        elif self._block_best_tracking:
+            fn = self._compiled_cached_train_block(len(epochs))
             self.state, self._block_best, packed_rows, sums = fn(
                 self.state, self._block_best, self._train_cache, idx_block,
                 np.float32(epochs[0]))
         else:
+            fn = self._compiled_cached_train_block(len(epochs))
             self.state, packed_rows, sums = fn(
                 self.state, self._train_cache, idx_block,
                 np.float32(epochs[0]))
@@ -1027,41 +1170,65 @@ class BaseTrainer:
                 packed_rows.copy_to_host_async()
             except Exception:  # pragma: no cover - backend-optional hint
                 pass
-        return packed_rows, sorted(sums["metrics"])
+        return packed_rows, sorted(sums["metrics"]), eval_rows, ekeys
 
     def _finalize_epoch_block_host(self, epochs, packed_rows, keys,
+                                   eval_rows=None, ekeys=None,
                                    file_logger=None):
         vals = np.asarray(packed_rows)  # ONE fetch for the whole block
+        evals = np.asarray(eval_rows) if eval_rows is not None else None
         n_batches = len(self.train_loader)
         n_data = len(self.train_dataset)
         track = self._block_best_tracking
-        for e, row in zip(epochs, vals):
+        kbt = bool(self.training_config.keep_best_on_train)
+        for i, (e, row) in enumerate(zip(epochs, vals)):
             loss = float(row[0]) / n_data
             metrics = {k: float(row[1 + j]) / n_batches
                        for j, k in enumerate(keys)}
+            eval_loss = eval_metrics = None
             in_graph_best = None
-            if track:
-                # Replay the device decision for the reference log lines
-                # and loss bookkeeping: the trailing column is the 0/1
-                # "took" flag; the f32 division reproduces the device's
-                # comparison value bit-exactly (same operands, same
-                # IEEE op) so host best_train_loss == the device carry.
+            if evals is not None:
+                erow = evals[i]
+                n_ev = len(self.eval_dataset)
+                eval_loss = float(erow[0]) / n_ev
+                eval_metrics = {k: float(erow[1 + j])
+                                / len(self.eval_loader)
+                                for j, k in enumerate(ekeys)}
+                # Replay the device decision for the reference log
+                # lines and loss bookkeeping: the trailing eval column
+                # is the 0/1 "took" flag; the f32 division reproduces
+                # the device's comparison value bit-exactly (same
+                # operands, same IEEE op) so the host best loss == the
+                # device carry.
+                took = bool(erow[1 + len(ekeys)] > 0.5)
+                cmp_f32 = (np.float32(row[0]) / np.float32(n_data) if kbt
+                           else np.float32(erow[0]) / np.float32(n_ev))
+                in_graph_best = (took, float(cmp_f32))
+            elif track:
+                # No eval set: the "took" column trails the TRAIN row
+                # (same f32-replay contract as above).
                 took = bool(row[1 + len(keys)] > 0.5)
                 loss_f32 = np.float32(row[0]) / np.float32(n_data)
                 in_graph_best = (took, float(loss_f32))
-            self._finalize_epoch_host(e, loss, metrics, None, None, None,
+            self._finalize_epoch_host(e, loss, metrics, eval_loss,
+                                      eval_metrics, None,
                                       file_logger=file_logger,
                                       in_graph_best=in_graph_best)
 
     def _init_block_best_carry(self):
-        """Fresh on-device ``(best_train_loss, best_params)`` carry for
-        the in-graph best tracking: a COPY (the block program donates
-        its carry — aliasing ``_best_params``/``model.params`` would
-        delete them on the first launch), placed with the params'
-        training shardings on multi-device meshes."""
+        """Fresh on-device ``(best_loss, best_params)`` carry for the
+        in-graph best tracking: a COPY (the block program donates its
+        carry — aliasing ``_best_params``/``model.params`` would delete
+        them on the first launch), placed with the params' training
+        shardings on multi-device meshes. The loss slot holds the
+        COMPARISON loss: train loss under ``keep_best_on_train`` (or
+        without an eval set), eval loss otherwise."""
         base = (self._best_params if self._best_params is not None
                 else self.state.params)
-        loss0 = np.float32(self.best_train_loss)
+        kbt = self.training_config.keep_best_on_train
+        loss0 = np.float32(
+            self.best_train_loss if (kbt or self.eval_dataset is None)
+            else self.best_eval_loss)
         if self.mesh.size == 1 and jax.process_count() == 1:
             return (jnp.asarray(loss0), self._tree_copy(base))
         rep = replicated_sharding(self.mesh)
@@ -1103,7 +1270,7 @@ class BaseTrainer:
                 self.best_train_loss, self.best_eval_loss = (
                     self.prepare_train_step(e, self.best_train_loss,
                                             self.best_eval_loss))
-            packed_rows, keys = self._run_cached_train_epoch_block(block)
+            payload = self._run_cached_train_epoch_block(block)
             # Display callbacks run their normal PER-EPOCH cycle (begin,
             # step ends) after the block dispatch — each progress bar
             # fills its own n_batches, in epoch order; only timing
@@ -1116,6 +1283,11 @@ class BaseTrainer:
                     cfg, train_loader=self.train_loader, epoch=e)
                 for _ in range(n_batches):
                     self.callback_handler.on_train_step_end(cfg)
+                if payload[2] is not None:
+                    self.callback_handler.on_eval_step_begin(
+                        cfg, eval_loader=self.eval_loader, epoch=e)
+                    for _ in range(len(self.eval_loader)):
+                        self.callback_handler.on_eval_step_end(cfg)
             if prev is not None:
                 self._finalize_epoch_block_host(*prev,
                                                 file_logger=file_logger)
@@ -1126,10 +1298,10 @@ class BaseTrainer:
                 self.model.params = self._tree_copy(self.state.params)
                 if self._block_best_tracking:
                     self._materialize_block_best()
-                self._finalize_epoch_block_host(block, packed_rows, keys,
+                self._finalize_epoch_block_host(block, *payload,
                                                 file_logger=file_logger)
             else:
-                prev = (block, packed_rows, keys)
+                prev = (block,) + payload
         if prev is not None:  # pragma: no cover - last block always syncs
             self.model.params = self._tree_copy(self.state.params)
             if self._block_best_tracking:
@@ -1404,9 +1576,14 @@ class BaseTrainer:
             if took:
                 if epoch <= self.start_keep_best_epoch:
                     logger.info("New model saved!")
-                else:
+                elif self.training_config.keep_best_on_train:
                     self.best_train_loss = loss_f32
                     logger.info("New best model on train saved!")
+                else:
+                    # train+eval fused block: the device compared (and
+                    # the carry holds) the EVAL loss
+                    self.best_eval_loss = loss_f32
+                    logger.info("New best model on eval saved!")
         elif epoch <= self.start_keep_best_epoch:
             self._best_params = snap()
             logger.info("New model saved!")

@@ -76,6 +76,7 @@ def _run(tmp_path, tag, *, kind="mvtcae", warmup=0, with_eval=False,
         cfg["steps_saving"] = SAVE_AT
 
     losses = []
+    eval_losses = []
 
     def build():
         from multivae_tpu.trainers.base.callbacks import TrainingCallback
@@ -83,6 +84,8 @@ def _run(tmp_path, tag, *, kind="mvtcae", warmup=0, with_eval=False,
         class Collector(TrainingCallback):
             def on_log(self, training_config, logs, **kwargs):
                 losses.append(float(logs["train_epoch_loss"]))
+                if "eval_epoch_loss" in logs:
+                    eval_losses.append(float(logs["eval_epoch_loss"]))
 
         model = _model(kind)
         if warmup:
@@ -100,6 +103,7 @@ def _run(tmp_path, tag, *, kind="mvtcae", warmup=0, with_eval=False,
                             f"checkpoint_epoch_{SAVE_AT}")
         assert os.path.isdir(ckpt), ckpt
         losses.clear()
+        eval_losses.clear()
         t2 = build()
         trainer = BaseTrainer(
             t2.model, dataset,
@@ -111,6 +115,9 @@ def _run(tmp_path, tag, *, kind="mvtcae", warmup=0, with_eval=False,
         "best": (jax.tree.leaves(trainer.best_params)
                  if trainer._best_params is not None else None),
         "losses": list(losses),
+        "eval_losses": list(eval_losses),
+        "fused_keys": [k for k in trainer._cached_train_fns
+                       if isinstance(k, tuple)],
         "trainer": trainer,
     }
 
@@ -254,6 +261,37 @@ SCENARIOS = [
      dict(cache_on_device=True, steps_per_execution=100,
           device_cache_layout="sharded"),
      True),
+    # --- fused TRAIN+EVAL blocks (r5): the eval pass, the per-epoch
+    # eval rng, and the best-on-eval-loss select all run in-graph
+    # inside one block launch (_compiled_cached_train_eval_block); the
+    # straight squares assert the program actually compiled. Resume
+    # replays through the per-epoch pipelined path (remaining epochs <
+    # 2*depth after the checkpoint), exercising the carry handoff.
+    ("fused_eval_best", dict(with_eval=True),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     False),
+    ("fused_eval_warmup", dict(with_eval=True, warmup=2),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     False),
+    ("fused_eval_keep_best_on_train",
+     dict(with_eval=True, keep_best_on_train=True),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     False),
+    ("dp8_sharded_fused_eval", dict(n_devices=8, with_eval=True),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100, device_cache_layout="sharded"),
+     False),
+    ("resume_fused_eval_best", dict(with_eval=True),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     True),
+    ("resume_fused_eval_orbax", dict(with_eval=True),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100, checkpoint_backend="orbax"),
+     True),
 ]
 
 
@@ -271,6 +309,12 @@ def test_mode_square_matches_synchronous(tmp_path, tmp_path_factory,
     if not resume:
         assert got["losses"] == pytest.approx(want["losses"],
                                               rel=1e-6, abs=1e-7)
+        if semantic.get("with_eval"):
+            assert len(got["eval_losses"]) == len(want["eval_losses"]) > 0
+            assert got["eval_losses"] == pytest.approx(
+                want["eval_losses"], rel=1e-6, abs=1e-7)
+        if name.startswith("fused_eval") or name == "dp8_sharded_fused_eval":
+            assert ("block_eval", 2) in got["fused_keys"], got["fused_keys"]
 
 
 # --------------------------------------------------- microbatch squares
