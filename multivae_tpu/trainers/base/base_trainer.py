@@ -93,6 +93,18 @@ class TrainState:
     step: jnp.ndarray
 
 
+def _state_with_lr(state: TrainState, lr) -> TrainState:
+    """Functional in-graph counterpart of ``optim.set_learning_rate``:
+    rewire the ``inject_hyperparams`` learning-rate leaf (a () f32
+    array) to ``lr``. Used by the fused epoch-block programs to apply a
+    deterministic LR schedule per epoch ON DEVICE — free in the compiled
+    program (a scalar rewiring, no params copy)."""
+    opt_state = state.opt_state
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state._replace(hyperparams=hp))
+
+
 class BaseTrainer:
     """Single- or multi-device (data-parallel) epoch trainer.
 
@@ -667,6 +679,12 @@ class BaseTrainer:
         kbt = bool(self.training_config.keep_best_on_train)
         warm_until = float(self.start_keep_best_epoch)
         n_data = float(len(self.train_dataset))
+        # Deterministic LR schedule: the host precomputes the block's
+        # per-epoch LR vector (``lr_at``) and the program rewires the
+        # injected hyperparam leaf at each epoch boundary — the exact
+        # values the synchronous loop's ``scheduler.step()`` +
+        # ``set_learning_rate`` sequence produces.
+        scheduled = self.scheduler is not None
 
         def epoch_tail(best, state, epoch, packed):
             """Mirror of _finalize_epoch_host's tracking branch (no eval
@@ -687,7 +705,8 @@ class BaseTrainer:
                 state.params, best_params)
             return (best_loss, best_params), took
 
-        def block_best_fn(state, best, cache, idx_block, first_epoch):
+        def block_best_fn(state, best, cache, idx_block, first_epoch,
+                          lrs=None):
             """Python-UNROLLED outer loop: n_epochs top-level step scans
             with the best-select between them. Not a nested lax.scan
             (the while-in-while tax, see ``block_fn``) and not a flat
@@ -701,6 +720,8 @@ class BaseTrainer:
             sums = None
             for e in range(n_epochs):
                 epoch = first_epoch + jnp.float32(e)
+                if lrs is not None:
+                    state = _state_with_lr(state, lrs[e])
                 state, sums, packed = window_fn(
                     state, cache, idx_block[e], jnp.int32(0), epoch)
                 best, took = epoch_tail(best, state, epoch, packed)
@@ -710,7 +731,7 @@ class BaseTrainer:
             # order of the packed columns) — the last epoch's tree
             return state, best, jnp.stack(rows), sums
 
-        def block_fn(state, cache, idx_block, first_epoch):
+        def block_fn(state, cache, idx_block, first_epoch, lrs=None):
             """ONE flat scan over all n_epochs*n_batches steps, with the
             epoch / in-epoch batch index derived from the flat step
             index and per-epoch sums recovered by reshape. NOT a nested
@@ -734,6 +755,10 @@ class BaseTrainer:
             def body(state, i):
                 e = i // n_batches
                 bb = i - e * n_batches
+                if lrs is not None:
+                    # per-STEP rewiring of the injected LR scalar — a
+                    # dynamic index + wire swap, free in the flat scan
+                    state = _state_with_lr(state, lrs[e])
                 info = StepInfo(
                     epoch=first_epoch + e.astype(jnp.float32),
                     batch_ratio=bb.astype(jnp.float32) / n_batches,
@@ -756,6 +781,7 @@ class BaseTrainer:
             # n_epochs x n_metrics (the flush fetches packed_rows alone).
             return state, packed_rows, jax.tree.map(lambda x: x[-1], sums)
 
+        lr_arg = (replicated_sharding(self.mesh),) if scheduled else ()
         if self.mesh.size == 1:
             if track_best:
                 fn = jax.jit(block_best_fn, donate_argnums=(0, 1))
@@ -769,13 +795,14 @@ class BaseTrainer:
                 best_sh = (rep, self._params_sharding(rep))
                 fn = jax.jit(
                     block_best_fn, donate_argnums=(0, 1),
-                    in_shardings=(state_sh, best_sh, cache_sh, rep, rep),
+                    in_shardings=(state_sh, best_sh, cache_sh, rep, rep)
+                    + lr_arg,
                     out_shardings=(state_sh, best_sh, rep, rep),
                 )
             else:
                 fn = jax.jit(
                     block_fn, donate_argnums=(0,),
-                    in_shardings=(state_sh, cache_sh, rep, rep),
+                    in_shardings=(state_sh, cache_sh, rep, rep) + lr_arg,
                     out_shardings=(state_sh, rep, rep),
                 )
         self._cached_train_fns[key] = fn
@@ -827,8 +854,10 @@ class BaseTrainer:
                 state.params, best_params)
             return (best_loss, best_params), took
 
+        scheduled = self.scheduler is not None
+
         def block_fn(state, best, tcache, ecache, idx_tr, idx_ev,
-                     eval_keys, first_epoch):
+                     eval_keys, first_epoch, lrs=None):
             # eval_keys is the WHOLE-RUN (num_epochs, key_size) table,
             # uploaded once (a per-block device_put would queue behind
             # the in-flight previous block on the serialized tunnel);
@@ -838,6 +867,11 @@ class BaseTrainer:
             tsums = esums = None
             for e in range(n_epochs):
                 epoch = first_epoch + jnp.float32(e)
+                if lrs is not None:
+                    # deterministic LR schedule, applied on device from
+                    # the host-precomputed per-epoch vector (see
+                    # _compiled_cached_train_block)
+                    state = _state_with_lr(state, lrs[e])
                 state, tsums, packed_t = train_window(
                     state, tcache, idx_tr[e], jnp.int32(0), epoch)
                 rng = jax.random.wrap_key_data(
@@ -866,10 +900,11 @@ class BaseTrainer:
             ecache_sh = jax.tree.map(lambda x: x.sharding,
                                      self._eval_cache)
             best_sh = (rep, self._params_sharding(rep))
+            lr_arg = (rep,) if scheduled else ()
             fn = jax.jit(
                 block_fn, donate_argnums=(0, 1),
                 in_shardings=(state_sh, best_sh, tcache_sh, ecache_sh,
-                              rep, rep, rep, rep),
+                              rep, rep, rep, rep) + lr_arg,
                 out_shardings=(state_sh, best_sh, rep, rep, rep, rep),
             )
         self._cached_train_fns[key] = fn
@@ -1121,6 +1156,15 @@ class BaseTrainer:
         and the metric key order of the columns. ``eval_rows``/``ekeys``
         are None without an eval set."""
         idx_block = self._upload_epoch_plan_block(self.train_loader, epochs)
+        lr_arg = ()
+        if self.scheduler is not None:
+            # Deterministic schedule (eligibility excludes plateau): the
+            # block's per-epoch LR vector, computed with the same f64
+            # host arithmetic the synchronous ``scheduler.step()`` path
+            # uses and cast f32 once — epoch e trains under lr_at(e-1).
+            lr_arg = (np.asarray(
+                [self.scheduler.lr_at(e - 1) for e in epochs],
+                dtype=np.float32),)
         eval_rows = ekeys = None
         if self._block_eval_fused:
             idx_eval = self._upload_epoch_plan_block(
@@ -1141,7 +1185,7 @@ class BaseTrainer:
              sums, esums) = fn(
                 self.state, self._block_best, self._train_cache,
                 self._eval_cache, idx_block, idx_eval, ekey_data,
-                np.float32(epochs[0]))
+                np.float32(epochs[0]), *lr_arg)
             ekeys = sorted(esums["metrics"])
             if hasattr(eval_rows, "copy_to_host_async"):
                 try:
@@ -1152,12 +1196,12 @@ class BaseTrainer:
             fn = self._compiled_cached_train_block(len(epochs))
             self.state, self._block_best, packed_rows, sums = fn(
                 self.state, self._block_best, self._train_cache, idx_block,
-                np.float32(epochs[0]))
+                np.float32(epochs[0]), *lr_arg)
         else:
             fn = self._compiled_cached_train_block(len(epochs))
             self.state, packed_rows, sums = fn(
                 self.state, self._train_cache, idx_block,
-                np.float32(epochs[0]))
+                np.float32(epochs[0]), *lr_arg)
         # Enqueue the device->host copy of the block's scalar matrix NOW,
         # before the next block's program is dispatched: on serialized
         # transports (the tunneled TPU) a transfer requested at flush
@@ -1459,19 +1503,24 @@ class BaseTrainer:
     def _pipeline_epochs_eligible(self) -> bool:
         """Deferred epoch finalization is safe only when nothing on the host
         needs epoch N's results before epoch N+1's device work is
-        dispatched: no LR scheduler (steps on the epoch loss), no
-        subclass epoch hooks (the MultistageTrainer's
-        ``prepare_train_step`` resets the optimizer from loop state;
-        overridden ``train_step``/``eval_step`` must keep running
-        through the public synchronous path), and no callback with a
-        custom ``on_epoch_end`` — that hook fires at flush time, when a
-        closure reading ``trainer.state``/``model.params`` would see a
-        LATER epoch's weights (the shipped display-only progress/console
-        callbacks are exempt; ``JaxProfilerCallback`` intentionally is
-        not, so profiled runs keep exact per-epoch attribution)."""
+        dispatched: no metric-driven LR scheduler (``ReduceLROnPlateau``
+        steps on the epoch loss — DETERMINISTIC schedules are a pure
+        function of the epoch number, so each epoch's LR is known at
+        dispatch time via ``LRScheduler.lr_at`` and pipelining stays on;
+        the deferred finalize replays ``scheduler.step()`` for host
+        bookkeeping with identical values), no subclass epoch hooks (the
+        MultistageTrainer's ``prepare_train_step`` resets the optimizer
+        from loop state; overridden ``train_step``/``eval_step`` must
+        keep running through the public synchronous path), and no
+        callback with a custom ``on_epoch_end`` — that hook fires at
+        flush time, when a closure reading
+        ``trainer.state``/``model.params`` would see a LATER epoch's
+        weights (the shipped display-only progress/console callbacks are
+        exempt; ``JaxProfilerCallback`` intentionally is not, so
+        profiled runs keep exact per-epoch attribution)."""
         if not getattr(self.training_config, "pipeline_epochs", True):
             return False
-        if self.scheduler is not None:
+        if self.scheduler is not None and not self.scheduler.deterministic:
             return False
         cls = type(self)
         if not (cls.prepare_train_step is BaseTrainer.prepare_train_step
@@ -1657,6 +1706,15 @@ class BaseTrainer:
                 file_logger.info(msg)
             logger.info("Successfully launched training !\n")
 
+        if self.scheduler is not None:
+            # Align the injected LR with the scheduler's CURRENT value on
+            # entry: torch applies a schedule's initial factor at
+            # construction (LinearLR trains epoch 1 at
+            # base_lr*start_factor, torch.optim.lr_scheduler), and a
+            # resumed scheduler re-enters at its restored LR. A no-op for
+            # every schedule whose initial LR is the base LR.
+            set_learning_rate(self.state.opt_state, self.scheduler.current_lr)
+
         # Lag-E deferred epoch finalization: every device round trip
         # through the tunnel costs ~30-45 ms of serialized queue time
         # (plan upload, scalar fetch) regardless of payload size, so the
@@ -1696,6 +1754,17 @@ class BaseTrainer:
                     epoch_eval_loss, epoch_eval_metrics,
                     self.model.params, file_logger=file_logger)
                 continue
+
+            if self.scheduler is not None:
+                # Deterministic schedule under pipelining: set epoch
+                # ``epoch``'s LR at dispatch time (``lr_at`` reproduces
+                # the stateful ``step()`` value exactly — same f64 host
+                # arithmetic, cast f32 once here); the deferred
+                # finalize's replayed ``scheduler.step()`` then writes
+                # the SAME values, keeping checkpointed opt_state
+                # bit-identical to the synchronous path's.
+                set_learning_rate(self.state.opt_state,
+                                  self.scheduler.lr_at(epoch - 1))
 
             # Skip the per-epoch params-snapshot launch when nothing can
             # consume it (no best-model tracking, no update hook); the

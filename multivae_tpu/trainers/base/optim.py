@@ -101,6 +101,32 @@ class LRScheduler:
         self.current_lr = self._compute_lr(metric)
         return self.current_lr
 
+    @property
+    def deterministic(self) -> bool:
+        """True when the LR trajectory is a pure function of the epoch
+        number (every scheduler except ReduceLROnPlateau): the trainer's
+        pipelined/fused-block paths can then precompute each epoch's LR
+        at DISPATCH time (``lr_at``) instead of waiting for the epoch
+        loss, so an LR schedule no longer forces the synchronous loop."""
+        return not self.needs_metric
+
+    def lr_at(self, last_epoch: int) -> float:
+        """Pure evaluation: the LR in force after ``last_epoch`` steps —
+        i.e. the LR epoch ``last_epoch + 1`` trains under. Identical to
+        the value the stateful ``step()`` sequence produces (every
+        deterministic ``_compute_lr`` reads only ``self.last_epoch`` and
+        constructor constants)."""
+        if not self.deterministic:  # pragma: no cover - guarded by callers
+            raise RuntimeError(
+                f"{type(self).__name__} depends on the epoch metric; its "
+                "LR cannot be computed ahead of the epoch.")
+        saved = self.last_epoch
+        self.last_epoch = last_epoch
+        try:
+            return self._compute_lr(None)
+        finally:
+            self.last_epoch = saved
+
     def _compute_lr(self, metric) -> float:
         return self.current_lr
 

@@ -1030,14 +1030,52 @@ def test_train_calls_overridden_public_train_step(dataset, tmp_path):
     assert calls == [1, 2, 3]
 
 
-def test_pipeline_auto_disabled_with_scheduler(model, dataset, tmp_path):
+def test_pipeline_auto_disabled_with_plateau_scheduler(model, dataset,
+                                                       tmp_path):
+    """ReduceLROnPlateau consumes the epoch loss, so it forces the
+    synchronous loop; deterministic schedules (pure functions of the
+    epoch number) keep pipelining on (r5, ``LRScheduler.lr_at``)."""
     trainer = BaseTrainer(
+        model, dataset,
+        training_config=small_config(
+            tmp_path, scheduler_cls="ReduceLROnPlateau",
+            scheduler_params={"patience": 2}),
+    )
+    assert not trainer._pipeline_epochs_eligible()
+    trainer2 = BaseTrainer(
         model, dataset,
         training_config=small_config(
             tmp_path, scheduler_cls="StepLR",
             scheduler_params={"step_size": 1, "gamma": 0.5}),
     )
-    assert not trainer._pipeline_epochs_eligible()
+    assert trainer2._pipeline_epochs_eligible()
+
+
+def test_lr_at_matches_stateful_sequence():
+    """``lr_at(k)`` (the dispatch-time pure evaluation the pipelined and
+    fused-block paths use) must reproduce the stateful ``step()``
+    trajectory for every deterministic schedule."""
+    from multivae_tpu.trainers.base.optim import make_scheduler
+
+    specs = [
+        ("StepLR", {"step_size": 2, "gamma": 0.5}),
+        ("MultiStepLR", {"milestones": [2, 5], "gamma": 0.1}),
+        ("ExponentialLR", {"gamma": 0.9}),
+        ("LinearLR", {"start_factor": 0.25, "total_iters": 4}),
+        ("CosineAnnealingLR", {"T_max": 7}),
+    ]
+    for name, params in specs:
+        stateful = make_scheduler(name, 1e-3, params)
+        pure = make_scheduler(name, 1e-3, params)
+        assert stateful.deterministic and pure.deterministic
+        assert pure.lr_at(0) == stateful.current_lr, name
+        for k in range(1, 9):
+            stepped = stateful.step()
+            assert pure.lr_at(k) == stepped, (name, k)
+        # lr_at must not mutate
+        assert pure.last_epoch == 0 and pure.current_lr == pure.lr_at(0)
+    plateau = make_scheduler("ReduceLROnPlateau", 1e-3, {"patience": 1})
+    assert not plateau.deterministic
 
 
 def test_pipeline_checkpoint_epochs_flush_synchronously(dataset, tmp_path):

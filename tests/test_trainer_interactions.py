@@ -182,7 +182,8 @@ SCENARIOS = [
     ("cache_eval_best", dict(with_eval=True),
      dict(cache_on_device=True, steps_per_execution=100),
      False),
-    # --- scheduler auto-disables pipelining; results must still match
+    # --- metric-driven scheduler (plateau) auto-disables pipelining;
+    # results must still match
     ("scheduler_cache", dict(scheduler_cls="ReduceLROnPlateau",
                              scheduler_params={"patience": 2}),
      dict(cache_on_device=True, pipeline_epochs=True,
@@ -292,6 +293,52 @@ SCENARIOS = [
      dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
           steps_per_execution=100, checkpoint_backend="orbax"),
      True),
+    # --- deterministic LR schedules stay on the fast paths (r5): the
+    # host precomputes each epoch's LR at dispatch time (lr_at) and the
+    # fused block programs rewire the injected hyperparam per epoch
+    # from a shipped per-block vector — same f64 host values as the
+    # synchronous scheduler.step() sequence, cast f32 once.
+    ("sched_steplr_fused",
+     dict(scheduler_cls="StepLR",
+          scheduler_params={"step_size": 2, "gamma": 0.5}),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     False),
+    ("sched_steplr_pipelined",  # per-epoch chunked path, no block fusion
+     dict(scheduler_cls="StepLR",
+          scheduler_params={"step_size": 2, "gamma": 0.5}),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=4),
+     False),
+    ("sched_expo_pipelined_nocache",  # host-loader pipelined dispatch
+     dict(scheduler_cls="ExponentialLR", scheduler_params={"gamma": 0.7}),
+     dict(cache_on_device=False, pipeline_epochs=True, pipeline_depth=3),
+     False),
+    ("sched_linear_fused_best",  # LR vector through the TRACKING block
+     dict(scheduler_cls="LinearLR",
+          scheduler_params={"start_factor": 0.5, "total_iters": 4},
+          keep_best_on_train=True),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     False),
+    ("sched_cosine_fused_eval",  # LR vector through the TRAIN+EVAL block
+     dict(with_eval=True, scheduler_cls="CosineAnnealingLR",
+          scheduler_params={"T_max": 6}),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     False),
+    ("resume_sched_steplr_fused",
+     dict(scheduler_cls="StepLR",
+          scheduler_params={"step_size": 2, "gamma": 0.5}),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     True),
+    ("resume_sched_cosine_fused_eval",
+     dict(with_eval=True, scheduler_cls="CosineAnnealingLR",
+          scheduler_params={"T_max": 6}),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     True),
 ]
 
 
@@ -315,6 +362,18 @@ def test_mode_square_matches_synchronous(tmp_path, tmp_path_factory,
                 want["eval_losses"], rel=1e-6, abs=1e-7)
         if name.startswith("fused_eval") or name == "dp8_sharded_fused_eval":
             assert ("block_eval", 2) in got["fused_keys"], got["fused_keys"]
+        if name in ("sched_steplr_fused", "sched_linear_fused_best"):
+            assert any(k[0] == "block" for k in got["fused_keys"]), \
+                got["fused_keys"]
+        if name == "sched_cosine_fused_eval":
+            assert any(k[0] == "block_eval" for k in got["fused_keys"]), \
+                got["fused_keys"]
+        if name.startswith("sched_"):
+            # the scheduler's host bookkeeping must agree with sync
+            assert (got["trainer"].scheduler.last_epoch
+                    == want["trainer"].scheduler.last_epoch)
+            assert got["trainer"].current_learning_rate == pytest.approx(
+                want["trainer"].current_learning_rate, rel=1e-7)
 
 
 # --------------------------------------------------- microbatch squares
