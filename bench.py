@@ -428,12 +428,16 @@ def bench_mvtcae_conv(n_steps=10, mixed=False):
 
 
 def _e2e_setup(n_epochs, depth, out_dir, extra_callbacks=(),
-               eval_batches=0):
+               eval_batches=0, plateau=False):
     """Shared trainer construction for the e2e + soak rows: MVTCAE at
     the headline scale, 200-step epochs, device cache, fused depth-8
     epoch blocks (see ``bench_trainer_e2e``). ``eval_batches > 0`` adds
     an eval set of that many batches (fused train+eval blocks with
-    in-graph best-on-eval tracking — the reference's common config)."""
+    in-graph best-on-eval tracking — the reference's common config);
+    ``plateau=True`` adds ReduceLROnPlateau on the eval loss — together
+    the reference's published benchmark protocol configuration
+    (``examples/case_studies/benchmarking_on_partial_polymnist/global_config.py:29-67``),
+    with the plateau state carried in-graph through the blocks."""
     from multivae_tpu.data import MultimodalBaseDataset
     from multivae_tpu.models import MVTCAE, MVTCAEConfig
     from multivae_tpu.trainers import BaseTrainer, BaseTrainerConfig
@@ -452,18 +456,26 @@ def _e2e_setup(n_epochs, depth, out_dir, extra_callbacks=(),
         n_modalities=2, latent_dim=LATENT, input_dims=DIMS,
         decoders_dist={m: "bernoulli" for m in DIMS},
     ), seed=0)
+    sched_kw = {}
+    if plateau:
+        sched_kw = dict(scheduler_cls="ReduceLROnPlateau",
+                        scheduler_params={"patience": 10, "factor": 0.5})
     cfg = BaseTrainerConfig(
         output_dir=out_dir, num_epochs=depth + n_epochs,
         per_device_train_batch_size=BATCH,
         per_device_eval_batch_size=BATCH, learning_rate=1e-3, seed=0,
         n_devices=1, cache_on_device=True, pipeline_depth=depth,
-        steps_per_execution=2 if SMOKE else 200,
+        steps_per_execution=2 if SMOKE else 200, **sched_kw,
     )
     trainer = BaseTrainer(model, ds, eval_dataset=eval_ds,
                           training_config=cfg,
                           callbacks=list(extra_callbacks))
     assert trainer._train_cache is not None, "device cache failed to build"
-    assert trainer._pipeline_epochs_eligible(), "pipelining unexpectedly off"
+    if plateau:
+        assert trainer._plateau_block_mode(), "plateau block mode off"
+    else:
+        assert trainer._pipeline_epochs_eligible(), \
+            "pipelining unexpectedly off"
     assert SMOKE or trainer._fused_epoch_blocks_eligible(), \
         "fused epoch blocks unexpectedly ineligible"
     if eval_batches:
@@ -473,7 +485,7 @@ def _e2e_setup(n_epochs, depth, out_dir, extra_callbacks=(),
     return trainer, cfg
 
 
-def bench_trainer_e2e(n_epochs=64, eval_batches=0):
+def bench_trainer_e2e(n_epochs=64, eval_batches=0, plateau=False):
     """END-TO-END ``trainer.train()`` epochs at the headline scale: the
     loop a USER runs — callbacks, metric accumulation, NaN guards,
     best-model tracking, logging — with the device-resident dataset
@@ -516,7 +528,7 @@ def bench_trainer_e2e(n_epochs=64, eval_batches=0):
         eval_batches = 1
     trainer, cfg = _e2e_setup(n_epochs, depth, "/tmp/bench_e2e",
                               extra_callbacks=[timer],
-                              eval_batches=eval_batches)
+                              eval_batches=eval_batches, plateau=plateau)
 
     # --- instrument: launch count + flush (fetch + host finalize) time
     launches = {"n": 0}
@@ -1129,6 +1141,8 @@ def main():
     torch_sps = run(bench_torch_reference_style)
     e2e = run(bench_trainer_e2e) or {}
     e2e_ev = run(bench_trainer_e2e, n_epochs=32, eval_batches=40) or {}
+    e2e_pl = run(bench_trainer_e2e, n_epochs=32, eval_batches=40,
+                 plateau=True) or {}
     soak = run(bench_trainer_soak) or {}
     e2e_sps = e2e.get("steps_per_sec")
     nll_jax_s = run(bench_nll_jax)
@@ -1183,6 +1197,15 @@ def main():
         "trainer_e2e_eval_path": e2e_ev.get("path"),
         "trainer_e2e_eval_epoch_ms_median": rnd(
             e2e_ev.get("epoch_ms_median"), 1),
+        # the reference's PUBLISHED benchmark protocol config (eval set
+        # + ReduceLROnPlateau on eval loss + best-on-eval,
+        # global_config.py:29-67): plateau state carried in-graph
+        # through the fused blocks (_plateau_block_mode)
+        "trainer_e2e_protocol_steps_per_sec": rnd(
+            e2e_pl.get("steps_per_sec")),
+        "trainer_e2e_protocol_path": e2e_pl.get("path"),
+        "trainer_e2e_protocol_epoch_ms_median": rnd(
+            e2e_pl.get("epoch_ms_median"), 1),
         # sustained soak (50 fused blocks): last/first window-median
         # rate >= 0.95 == no progressive slowdown; RSS delta == no
         # host-side leak over ~80k steps

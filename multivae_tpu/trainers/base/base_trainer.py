@@ -215,6 +215,8 @@ class BaseTrainer:
         # params (reference initializes _best_model = the live model).
         self._best_params = None
         self._block_best = None  # fused-block in-graph (loss, params) carry
+        self._sched_carry = None  # fused-block in-graph plateau LR state
+        self._sched_in_graph = False
         self.start_keep_best_epoch = getattr(model, "start_keep_best_epoch", 0)
 
         self._train_step_fn = None
@@ -649,6 +651,57 @@ class BaseTrainer:
         self._cached_train_fns[key] = fn
         return fn
 
+    def _plateau_update_fn(self):
+        """In-graph mirror of ``optim.ReduceLROnPlateau._compute_lr``
+        (same branch structure, f32): one epoch's update of the carried
+        state vector ``[current_lr, best, num_bad_epochs,
+        cooldown_counter]`` given the epoch's comparison loss. Static
+        config (mode/threshold/patience/...) is baked at trace time;
+        only the four scalars and the metric are traced. The host
+        adopts the carry at sync-finalize epochs
+        (``_adopt_sched_carry``), so checkpointed scheduler state is
+        bit-exactly the device's. Reference semantics:
+        torch.optim.lr_scheduler.ReduceLROnPlateau, used by the
+        reference's benchmark protocol."""
+        s = self.scheduler
+        is_min = s.mode == "min"
+        rel = s.threshold_mode == "rel"
+        th = float(s.threshold)
+        factor = float(s.factor)
+        patience = float(s.patience)
+        cooldown_cfg = float(s.cooldown)
+        min_lr = float(s.min_lr)
+
+        def update(sched, metric):
+            lr, best, bad, cool = sched[0], sched[1], sched[2], sched[3]
+            if is_min:
+                better = (metric < best * (1.0 - th) if rel
+                          else metric < best - th)
+            else:
+                better = (metric > best * (1.0 + th) if rel
+                          else metric > best + th)
+            in_cool = cool > 0.0
+            bad_else = bad + 1.0
+            trigger = jnp.logical_and(
+                jnp.logical_not(better),
+                jnp.logical_and(jnp.logical_not(in_cool),
+                                bad_else > patience))
+            best2 = jnp.where(better, metric, best)
+            bad2 = jnp.where(better, 0.0,
+                             jnp.where(in_cool, 0.0,
+                                       jnp.where(trigger, 0.0, bad_else)))
+            cool2 = jnp.where(better, cool,
+                              jnp.where(in_cool, cool - 1.0,
+                                        jnp.where(trigger,
+                                                  jnp.float32(cooldown_cfg),
+                                                  cool)))
+            lr2 = jnp.where(trigger,
+                            jnp.maximum(lr * factor, jnp.float32(min_lr)),
+                            lr)
+            return jnp.stack([lr2, best2, bad2, cool2])
+
+        return update
+
     def _compiled_cached_train_block(self, n_epochs: int):
         """One dispatch running ``n_epochs`` WHOLE train epochs as a
         single flat ``lax.scan`` over every (epoch, batch) step (nested
@@ -683,8 +736,16 @@ class BaseTrainer:
         # per-epoch LR vector (``lr_at``) and the program rewires the
         # injected hyperparam leaf at each epoch boundary — the exact
         # values the synchronous loop's ``scheduler.step()`` +
-        # ``set_learning_rate`` sequence produces.
-        scheduled = self.scheduler is not None
+        # ``set_learning_rate`` sequence produces. A PLATEAU scheduler
+        # instead carries its state vector in-graph and updates it from
+        # each epoch's train loss (``_plateau_update_fn``); the trailing
+        # ``sched`` argument is the LR vector in the first case, the
+        # carry in the second.
+        scheduled = (self.scheduler is not None
+                     and self.scheduler.deterministic)
+        plateau = (self.scheduler is not None
+                   and not self.scheduler.deterministic)
+        plateau_update = self._plateau_update_fn() if plateau else None
 
         def epoch_tail(best, state, epoch, packed):
             """Mirror of _finalize_epoch_host's tracking branch (no eval
@@ -706,7 +767,7 @@ class BaseTrainer:
             return (best_loss, best_params), took
 
         def block_best_fn(state, best, cache, idx_block, first_epoch,
-                          lrs=None):
+                          sched=None):
             """Python-UNROLLED outer loop: n_epochs top-level step scans
             with the best-select between them. Not a nested lax.scan
             (the while-in-while tax, see ``block_fn``) and not a flat
@@ -720,16 +781,39 @@ class BaseTrainer:
             sums = None
             for e in range(n_epochs):
                 epoch = first_epoch + jnp.float32(e)
-                if lrs is not None:
-                    state = _state_with_lr(state, lrs[e])
+                if scheduled:
+                    state = _state_with_lr(state, sched[e])
+                elif plateau:
+                    state = _state_with_lr(state, sched[0])
                 state, sums, packed = window_fn(
                     state, cache, idx_block[e], jnp.int32(0), epoch)
                 best, took = epoch_tail(best, state, epoch, packed)
                 rows.append(jnp.concatenate(
                     [packed, took.astype(jnp.float32)[None]]))
+                if plateau:
+                    sched = plateau_update(
+                        sched, packed[0] / jnp.float32(n_data))
             # sums: only the pytree STRUCTURE is consumed (metric key
             # order of the packed columns) — the last epoch's tree
+            if plateau:
+                return state, best, jnp.stack(rows), sums, sched
             return state, best, jnp.stack(rows), sums
+
+        def block_plateau_fn(state, cache, idx_block, first_epoch, sched):
+            """Unrolled plateau-scheduled block WITHOUT best tracking:
+            each epoch trains under the carried LR, then the carry
+            updates from the epoch's train loss (the synchronous loop's
+            ``_schedulers_step(epoch_train_loss)`` with no eval set)."""
+            rows = []
+            sums = None
+            for e in range(n_epochs):
+                epoch = first_epoch + jnp.float32(e)
+                state = _state_with_lr(state, sched[0])
+                state, sums, packed = window_fn(
+                    state, cache, idx_block[e], jnp.int32(0), epoch)
+                rows.append(packed)
+                sched = plateau_update(sched, packed[0] / jnp.float32(n_data))
+            return state, jnp.stack(rows), sums, sched
 
         def block_fn(state, cache, idx_block, first_epoch, lrs=None):
             """ONE flat scan over all n_epochs*n_batches steps, with the
@@ -781,10 +865,13 @@ class BaseTrainer:
             # n_epochs x n_metrics (the flush fetches packed_rows alone).
             return state, packed_rows, jax.tree.map(lambda x: x[-1], sums)
 
-        lr_arg = (replicated_sharding(self.mesh),) if scheduled else ()
+        lr_arg = ((replicated_sharding(self.mesh),)
+                  if (scheduled or plateau) else ())
         if self.mesh.size == 1:
             if track_best:
                 fn = jax.jit(block_best_fn, donate_argnums=(0, 1))
+            elif plateau:
+                fn = jax.jit(block_plateau_fn, donate_argnums=(0,))
             else:
                 fn = jax.jit(block_fn, donate_argnums=(0,))
         else:
@@ -797,7 +884,14 @@ class BaseTrainer:
                     block_best_fn, donate_argnums=(0, 1),
                     in_shardings=(state_sh, best_sh, cache_sh, rep, rep)
                     + lr_arg,
-                    out_shardings=(state_sh, best_sh, rep, rep),
+                    out_shardings=(state_sh, best_sh, rep, rep)
+                    + ((rep,) if plateau else ()),
+                )
+            elif plateau:
+                fn = jax.jit(
+                    block_plateau_fn, donate_argnums=(0,),
+                    in_shardings=(state_sh, cache_sh, rep, rep, rep),
+                    out_shardings=(state_sh, rep, rep, rep),
                 )
             else:
                 fn = jax.jit(
@@ -854,24 +948,30 @@ class BaseTrainer:
                 state.params, best_params)
             return (best_loss, best_params), took
 
-        scheduled = self.scheduler is not None
+        scheduled = (self.scheduler is not None
+                     and self.scheduler.deterministic)
+        plateau = (self.scheduler is not None
+                   and not self.scheduler.deterministic)
+        plateau_update = self._plateau_update_fn() if plateau else None
 
         def block_fn(state, best, tcache, ecache, idx_tr, idx_ev,
-                     eval_keys, first_epoch, lrs=None):
+                     eval_keys, first_epoch, sched=None):
             # eval_keys is the WHOLE-RUN (num_epochs, key_size) table,
             # uploaded once (a per-block device_put would queue behind
             # the in-flight previous block on the serialized tunnel);
-            # each epoch slices its own row.
+            # each epoch slices its own row. ``sched`` is the
+            # deterministic per-epoch LR vector, or the plateau state
+            # carry (updated from each epoch's EVAL loss — the
+            # synchronous loop's ``_schedulers_step(epoch_eval_loss)``).
             first_i = first_epoch.astype(jnp.int32)
             rows_t, rows_e = [], []
             tsums = esums = None
             for e in range(n_epochs):
                 epoch = first_epoch + jnp.float32(e)
-                if lrs is not None:
-                    # deterministic LR schedule, applied on device from
-                    # the host-precomputed per-epoch vector (see
-                    # _compiled_cached_train_block)
-                    state = _state_with_lr(state, lrs[e])
+                if scheduled:
+                    state = _state_with_lr(state, sched[e])
+                elif plateau:
+                    state = _state_with_lr(state, sched[0])
                 state, tsums, packed_t = train_window(
                     state, tcache, idx_tr[e], jnp.int32(0), epoch)
                 rng = jax.random.wrap_key_data(
@@ -885,8 +985,14 @@ class BaseTrainer:
                 rows_t.append(packed_t)
                 rows_e.append(jnp.concatenate(
                     [packed_e, took.astype(jnp.float32)[None]]))
+                if plateau:
+                    sched = plateau_update(
+                        sched, packed_e[0] / jnp.float32(n_ev))
             # sums trees: only the pytree STRUCTURE is consumed (metric
             # key order of the packed columns) — the last epoch's trees
+            if plateau:
+                return (state, best, jnp.stack(rows_t), jnp.stack(rows_e),
+                        tsums, esums, sched)
             return (state, best, jnp.stack(rows_t), jnp.stack(rows_e),
                     tsums, esums)
 
@@ -900,12 +1006,13 @@ class BaseTrainer:
             ecache_sh = jax.tree.map(lambda x: x.sharding,
                                      self._eval_cache)
             best_sh = (rep, self._params_sharding(rep))
-            lr_arg = (rep,) if scheduled else ()
+            lr_arg = (rep,) if (scheduled or plateau) else ()
             fn = jax.jit(
                 block_fn, donate_argnums=(0, 1),
                 in_shardings=(state_sh, best_sh, tcache_sh, ecache_sh,
                               rep, rep, rep, rep) + lr_arg,
-                out_shardings=(state_sh, best_sh, rep, rep, rep, rep),
+                out_shardings=(state_sh, best_sh, rep, rep, rep, rep)
+                + ((rep,) if plateau else ()),
             )
         self._cached_train_fns[key] = fn
         return fn
@@ -1157,14 +1264,22 @@ class BaseTrainer:
         are None without an eval set."""
         idx_block = self._upload_epoch_plan_block(self.train_loader, epochs)
         lr_arg = ()
+        plateau = False
         if self.scheduler is not None:
-            # Deterministic schedule (eligibility excludes plateau): the
-            # block's per-epoch LR vector, computed with the same f64
-            # host arithmetic the synchronous ``scheduler.step()`` path
-            # uses and cast f32 once — epoch e trains under lr_at(e-1).
-            lr_arg = (np.asarray(
-                [self.scheduler.lr_at(e - 1) for e in epochs],
-                dtype=np.float32),)
+            if self.scheduler.deterministic:
+                # The block's per-epoch LR vector, computed with the
+                # same f64 host arithmetic the synchronous
+                # ``scheduler.step()`` path uses and cast f32 once —
+                # epoch e trains under lr_at(e-1).
+                lr_arg = (np.asarray(
+                    [self.scheduler.lr_at(e - 1) for e in epochs],
+                    dtype=np.float32),)
+            else:
+                # Plateau: the device-resident state carry threads
+                # block-to-block; the host adopts it at sync-finalize
+                # epochs (_adopt_sched_carry).
+                plateau = True
+                lr_arg = (self._sched_carry,)
         eval_rows = ekeys = None
         if self._block_eval_fused:
             idx_eval = self._upload_epoch_plan_block(
@@ -1181,11 +1296,16 @@ class BaseTrainer:
                     for e in range(1, self.training_config.num_epochs + 1)]))
                 self._plan_cache["eval_keys"] = ekey_data
             fn = self._compiled_cached_train_eval_block(len(epochs))
-            (self.state, self._block_best, packed_rows, eval_rows,
-             sums, esums) = fn(
+            out = fn(
                 self.state, self._block_best, self._train_cache,
                 self._eval_cache, idx_block, idx_eval, ekey_data,
                 np.float32(epochs[0]), *lr_arg)
+            if plateau:
+                (self.state, self._block_best, packed_rows, eval_rows,
+                 sums, esums, self._sched_carry) = out
+            else:
+                (self.state, self._block_best, packed_rows, eval_rows,
+                 sums, esums) = out
             ekeys = sorted(esums["metrics"])
             if hasattr(eval_rows, "copy_to_host_async"):
                 try:
@@ -1194,8 +1314,18 @@ class BaseTrainer:
                     pass
         elif self._block_best_tracking:
             fn = self._compiled_cached_train_block(len(epochs))
-            self.state, self._block_best, packed_rows, sums = fn(
+            out = fn(
                 self.state, self._block_best, self._train_cache, idx_block,
+                np.float32(epochs[0]), *lr_arg)
+            if plateau:
+                (self.state, self._block_best, packed_rows, sums,
+                 self._sched_carry) = out
+            else:
+                self.state, self._block_best, packed_rows, sums = out
+        elif plateau:
+            fn = self._compiled_cached_train_block(len(epochs))
+            self.state, packed_rows, sums, self._sched_carry = fn(
+                self.state, self._train_cache, idx_block,
                 np.float32(epochs[0]), *lr_arg)
         else:
             fn = self._compiled_cached_train_block(len(epochs))
@@ -1301,6 +1431,16 @@ class BaseTrainer:
         last = cfg.num_epochs
         if self._block_best_tracking:
             self._block_best = self._init_block_best_carry()
+        if self.scheduler is not None and not self.scheduler.deterministic:
+            # Plateau state enters as a (4,) f32 vector and threads
+            # device-to-device block-to-block; fresh/resumed host state
+            # seeds it (scheduler.json restores exactly the f32 values
+            # a previous run's carry held).
+            s = self.scheduler
+            self._sched_carry = np.asarray(
+                [s.current_lr, s.best, s.num_bad_epochs,
+                 s.cooldown_counter], dtype=np.float32)
+            self._sched_in_graph = True
         blocks, cur = [], []
         for e in range(self.trained_epochs + 1, last + 1):
             cur.append(e)
@@ -1342,6 +1482,7 @@ class BaseTrainer:
                 self.model.params = self._tree_copy(self.state.params)
                 if self._block_best_tracking:
                     self._materialize_block_best()
+                self._adopt_sched_carry()
                 self._finalize_epoch_block_host(block, *payload,
                                                 file_logger=file_logger)
             else:
@@ -1350,6 +1491,7 @@ class BaseTrainer:
             self.model.params = self._tree_copy(self.state.params)
             if self._block_best_tracking:
                 self._materialize_block_best()
+            self._adopt_sched_carry()
             self._finalize_epoch_block_host(*prev, file_logger=file_logger)
 
     def train_step(self, epoch: int):
@@ -1493,8 +1635,31 @@ class BaseTrainer:
     def _schedulers_step(self, metric=None):
         if self.scheduler is None:
             return
+        if self._sched_in_graph:
+            # Plateau-in-block mode: the device carry already applied
+            # this epoch's update; host state is adopted from the carry
+            # at sync-finalize epochs (_adopt_sched_carry). Only the
+            # epoch counter advances here.
+            self.scheduler.last_epoch += 1
+            return
         new_lr = self.scheduler.step(metric)
         set_learning_rate(self.state.opt_state, new_lr)
+
+    def _adopt_sched_carry(self):
+        """Fetch the fused-block plateau carry and write it into the
+        host scheduler (and the injected LR slot) so checkpoint saves
+        and ``current_learning_rate`` read the device's state — the f32
+        values ARE the state (no host-side recompute, no f64/f32
+        drift)."""
+        if self._sched_carry is None:
+            return
+        lr, best, bad, cool = np.asarray(self._sched_carry)
+        s = self.scheduler
+        s.current_lr = float(lr)
+        s.best = float(best)
+        s.num_bad_epochs = int(bad)
+        s.cooldown_counter = int(cool)
+        set_learning_rate(self.state.opt_state, float(lr))
 
     @property
     def current_learning_rate(self) -> float:
@@ -1518,9 +1683,18 @@ class BaseTrainer:
         weights (the shipped display-only progress/console callbacks are
         exempt; ``JaxProfilerCallback`` intentionally is not, so
         profiled runs keep exact per-epoch attribution)."""
-        if not getattr(self.training_config, "pipeline_epochs", True):
-            return False
         if self.scheduler is not None and not self.scheduler.deterministic:
+            return False
+        return self._deferred_finalize_safe()
+
+    def _deferred_finalize_safe(self) -> bool:
+        """The scheduler-independent half of the pipelining eligibility:
+        no subclass hooks, no custom ``on_epoch_end`` callbacks, config
+        opt-in. Shared with ``_plateau_block_mode`` (a plateau scheduler
+        can't pipeline per-epoch dispatch — each epoch's LR depends on
+        the previous epoch's loss — but CAN ride whole-epoch blocks with
+        its state carried in-graph)."""
+        if not getattr(self.training_config, "pipeline_epochs", True):
             return False
         cls = type(self)
         if not (cls.prepare_train_step is BaseTrainer.prepare_train_step
@@ -1534,6 +1708,25 @@ class BaseTrainer:
             if type(cb).on_epoch_end is not TrainingCallback.on_epoch_end:
                 return False
         return True
+
+    def _plateau_block_mode(self) -> bool:
+        """ReduceLROnPlateau consumes each epoch's loss, so per-epoch
+        pipelined dispatch is impossible — but the fused epoch-block
+        programs compute that loss IN-GRAPH, so the plateau state
+        ``(current_lr, best, num_bad_epochs, cooldown_counter)`` rides
+        the block as an f32 carry: each epoch trains under the carried
+        LR and the update (the exact mirror of the host
+        ``ReduceLROnPlateau._compute_lr`` branch structure, in f32) runs
+        after the epoch's (eval, else train) loss. The host ADOPTS the
+        device carry at sync-finalize epochs, so checkpointed scheduler
+        state matches the device bit-exactly. This is the reference's
+        own benchmark protocol configuration
+        (``examples/case_studies/benchmarking_on_partial_polymnist/global_config.py:29-67``:
+        plateau on eval loss + best-on-eval), kept at fused-block launch
+        rates."""
+        return (self.scheduler is not None
+                and not self.scheduler.deterministic
+                and self._deferred_finalize_safe())
 
     def _epoch_needs_sync_finalize(self, epoch: int) -> bool:
         """Checkpoint and prediction epochs consume the CURRENT
@@ -1706,6 +1899,7 @@ class BaseTrainer:
                 file_logger.info(msg)
             logger.info("Successfully launched training !\n")
 
+        self._sched_in_graph = False
         if self.scheduler is not None:
             # Align the injected LR with the scheduler's CURRENT value on
             # entry: torch applies a schedule's initial factor at
@@ -1722,10 +1916,15 @@ class BaseTrainer:
         # and pays ONE batched scalar fetch (and one block plan upload)
         # per run of E epochs — amortizing the fixed latency to ~E-th.
         pipelined = self._pipeline_epochs_eligible()
-        if pipelined and self._fused_epoch_blocks_eligible():
+        if ((pipelined or self._plateau_block_mode())
+                and self._fused_epoch_blocks_eligible()):
             # Whole-epoch-block fusion: one launch per pipeline_depth
             # epochs (see _compiled_cached_train_block). Same logged
-            # values, same final state as the per-epoch loop.
+            # values, same final state as the per-epoch loop. A plateau
+            # scheduler rides the blocks with its state carried
+            # in-graph (_plateau_block_mode); it cannot take the
+            # per-epoch pipelined path below, so when blocks are
+            # ineligible it falls through to the synchronous loop.
             self._train_fused_epoch_blocks(file_logger)
             return self._train_tail()
         depth = max(1, self.training_config.pipeline_depth)

@@ -339,6 +339,50 @@ SCENARIOS = [
      dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
           steps_per_execution=100),
      True),
+    # --- ReduceLROnPlateau carried IN-GRAPH through the fused blocks
+    # (r5, _plateau_block_mode): each epoch trains under the carried
+    # LR, the update runs on device from the epoch's (eval else train)
+    # loss, and the host adopts the carry at sync-finalize epochs.
+    # Aggressive params (90% rel threshold, patience 0, cooldown 1,
+    # exact-in-f32 factor 0.5) force better/trigger/cooldown branches
+    # all within 6 epochs.
+    ("sched_plateau_fused",
+     dict(scheduler_cls="ReduceLROnPlateau",
+          scheduler_params={"patience": 0, "threshold": 0.9,
+                            "factor": 0.5, "cooldown": 1}),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     False),
+    ("sched_plateau_fused_eval",
+     dict(with_eval=True, scheduler_cls="ReduceLROnPlateau",
+          scheduler_params={"patience": 0, "threshold": 0.9,
+                            "factor": 0.5, "cooldown": 1}),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     False),
+    ("sched_plateau_fused_keep_best",
+     dict(scheduler_cls="ReduceLROnPlateau",
+          scheduler_params={"patience": 1, "threshold": 0.9,
+                            "factor": 0.5},
+          keep_best_on_train=True),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     False),
+    ("sched_plateau_dp8_sharded",
+     dict(n_devices=8, with_eval=True,
+          scheduler_cls="ReduceLROnPlateau",
+          scheduler_params={"patience": 0, "threshold": 0.9,
+                            "factor": 0.5}),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100, device_cache_layout="sharded"),
+     False),
+    ("resume_sched_plateau_fused",
+     dict(with_eval=True, scheduler_cls="ReduceLROnPlateau",
+          scheduler_params={"patience": 0, "threshold": 0.9,
+                            "factor": 0.5, "cooldown": 1}),
+     dict(cache_on_device=True, pipeline_epochs=True, pipeline_depth=2,
+          steps_per_execution=100),
+     True),
 ]
 
 
@@ -362,10 +406,12 @@ def test_mode_square_matches_synchronous(tmp_path, tmp_path_factory,
                 want["eval_losses"], rel=1e-6, abs=1e-7)
         if name.startswith("fused_eval") or name == "dp8_sharded_fused_eval":
             assert ("block_eval", 2) in got["fused_keys"], got["fused_keys"]
-        if name in ("sched_steplr_fused", "sched_linear_fused_best"):
+        if name in ("sched_steplr_fused", "sched_linear_fused_best",
+                    "sched_plateau_fused", "sched_plateau_fused_keep_best"):
             assert any(k[0] == "block" for k in got["fused_keys"]), \
                 got["fused_keys"]
-        if name == "sched_cosine_fused_eval":
+        if name in ("sched_cosine_fused_eval", "sched_plateau_fused_eval",
+                    "sched_plateau_dp8_sharded"):
             assert any(k[0] == "block_eval" for k in got["fused_keys"]), \
                 got["fused_keys"]
         if name.startswith("sched_"):
@@ -374,6 +420,11 @@ def test_mode_square_matches_synchronous(tmp_path, tmp_path_factory,
                     == want["trainer"].scheduler.last_epoch)
             assert got["trainer"].current_learning_rate == pytest.approx(
                 want["trainer"].current_learning_rate, rel=1e-7)
+        if name.startswith("sched_plateau"):
+            gs, ws = got["trainer"].scheduler, want["trainer"].scheduler
+            assert gs.num_bad_epochs == ws.num_bad_epochs
+            assert gs.cooldown_counter == ws.cooldown_counter
+            assert gs.best == pytest.approx(ws.best, rel=1e-6)
 
 
 # --------------------------------------------------- microbatch squares

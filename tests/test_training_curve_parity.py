@@ -63,22 +63,26 @@ def _make_nets(dims, latent, hid):
     return encoders, decoders
 
 
-def _train_ours(model, data, n_epochs, batch_size, tmp_path):
+def _train_ours(model, data, n_epochs, batch_size, tmp_path,
+                scheduler=("StepLR", None), **extra_cfg):
     ds = MultimodalBaseDataset(data)
     rec = _LossRecorder()
+    sched_cls, sched_params = scheduler
     trainer = BaseTrainer(
         model, ds,
         training_config=BaseTrainerConfig(
             output_dir=str(tmp_path), num_epochs=n_epochs,
             learning_rate=LR, per_device_train_batch_size=batch_size,
             per_device_eval_batch_size=batch_size, seed=SEED,
-            optimizer_cls="Adam", scheduler_cls="StepLR",
-            scheduler_params=dict(SCHED), n_devices=1,
+            optimizer_cls="Adam", scheduler_cls=sched_cls,
+            scheduler_params=dict(sched_params if sched_params is not None
+                                  else SCHED),
+            n_devices=1, **extra_cfg,
         ),
         callbacks=[rec],
     )
     trainer.train()
-    return np.asarray(rec.train_losses)
+    return np.asarray(rec.train_losses), trainer
 
 
 def _torch_mlp_modules(params, dims, latent):
@@ -140,14 +144,22 @@ def _step_eps(global_step, shape, n_keys=0, key_index=0):
 
 
 def _train_torch_mvtcae(params, data, dims, latent, alpha, beta, n_epochs,
-                        batch_size):
+                        batch_size, plateau=None):
     """Reference-style MVTCAE training loop in torch
-    (``mvtcae_model.py:42-108`` inside ``base_trainer.py:642-700``)."""
+    (``mvtcae_model.py:42-108`` inside ``base_trainer.py:642-700``).
+    ``plateau`` (kwargs dict) swaps the epoch scheduler for TORCH'S OWN
+    ``ReduceLROnPlateau`` stepping on the epoch train loss — the
+    reference's ``_schedulers_step(epoch_train_loss)`` with no eval
+    set."""
     import torch
 
     modules, t_params = _torch_mlp_modules(params, dims, latent)
     optim = torch.optim.Adam(t_params, lr=LR)
-    sched = torch.optim.lr_scheduler.StepLR(optim, **SCHED)
+    if plateau is not None:
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            optim, **plateau)
+    else:
+        sched = torch.optim.lr_scheduler.StepLR(optim, **SCHED)
     mods = list(dims)
     M = float(len(mods))
     n = len(data[mods[0]])
@@ -196,7 +208,10 @@ def _train_torch_mvtcae(params, data, dims, latent, alpha, beta, n_epochs,
             optim.step()
             loss_sum_total += float(total.detach())
             global_step += 1
-        sched.step()
+        if plateau is not None:
+            sched.step(loss_sum_total / n)
+        else:
+            sched.step()
         losses.append(loss_sum_total / n)
     return np.asarray(losses)
 
@@ -378,7 +393,7 @@ def _run_mvtcae_curves(dims, latent, hid, n, batch_size, n_epochs,
         n_modalities=len(dims), latent_dim=latent, input_dims=dims,
         alpha=alpha, beta=beta), encoders=enc, decoders=dec, seed=0)
     init_params = jax.tree.map(np.asarray, model.params)
-    ours = _train_ours(model, data, n_epochs, batch_size, tmp_path)
+    ours, _ = _train_ours(model, data, n_epochs, batch_size, tmp_path)
     theirs = _train_torch_mvtcae(init_params, data, dims, latent, alpha,
                                  beta, n_epochs, batch_size)
     return ours, theirs
@@ -393,7 +408,7 @@ def _run_mopoe_curves(dims, latent, hid, n, batch_size, n_epochs, tmp_path):
         beta=beta), encoders=enc, decoders=dec, seed=0)
     theirs = _train_torch_mopoe(model, data, dims, latent, beta, n_epochs,
                                 batch_size)
-    ours = _train_ours(model, data, n_epochs, batch_size, tmp_path)
+    ours, _ = _train_ours(model, data, n_epochs, batch_size, tmp_path)
     return ours, theirs
 
 
@@ -406,7 +421,7 @@ def _run_mmvae_curves(dims, latent, hid, n, batch_size, n_epochs, K,
         loss="dreg_looser", prior_and_posterior_dist="laplace_with_softmax",
         learn_prior=True), encoders=enc, decoders=dec, seed=0)
     init_params = jax.tree.map(np.asarray, model.params)
-    ours = _train_ours(model, data, n_epochs, batch_size, tmp_path)
+    ours, _ = _train_ours(model, data, n_epochs, batch_size, tmp_path)
     theirs = _train_torch_mmvae(init_params, data, dims, latent, K,
                                 n_epochs, batch_size)
     return ours, theirs
@@ -418,6 +433,59 @@ def test_mvtcae_train_curve_matches_torch_replica(tmp_path):
         dims={"m0": (4,), "m1": (6,)}, latent=5, hid=32, n=100,
         batch_size=16, n_epochs=3, tmp_path=tmp_path)
     np.testing.assert_allclose(ours, theirs, rtol=1e-3)
+
+
+def test_mvtcae_plateau_fused_curve_matches_torch_replica(tmp_path):
+    """Our fused-block IN-GRAPH ReduceLROnPlateau (f32 carry threading
+    block-to-block, ``_plateau_block_mode``) vs TORCH'S OWN
+    ``ReduceLROnPlateau`` stepping on the epoch train loss: 8 epochs
+    with params that force LR halvings mid-run. Pins that the carried
+    decision logic AND the LR the optimizer actually consumes match the
+    reference scheduler over a trajectory, not just one update."""
+    alpha, beta = 0.3, 1.7
+    dims = {"m0": (4,), "m1": (6,)}
+    latent, hid, n, batch_size, n_epochs = 5, 32, 100, 16, 8
+    plateau = {"patience": 1, "threshold": 0.2, "factor": 0.5}
+    data = _make_data(n, dims)
+    enc, dec = _make_nets(dims, latent, hid)
+    model = MVTCAE(MVTCAEConfig(
+        n_modalities=len(dims), latent_dim=latent, input_dims=dims,
+        alpha=alpha, beta=beta), encoders=enc, decoders=dec, seed=0)
+    init_params = jax.tree.map(np.asarray, model.params)
+    ours, trainer = _train_ours(
+        model, data, n_epochs, batch_size, tmp_path,
+        scheduler=("ReduceLROnPlateau", plateau),
+        cache_on_device=True, steps_per_execution=100, pipeline_depth=2)
+    assert any(isinstance(k, tuple) and k[0] == "block"
+               for k in trainer._cached_train_fns), "plateau blocks off"
+    theirs = _train_torch_mvtcae(init_params, data, dims, latent, alpha,
+                                 beta, n_epochs, batch_size,
+                                 plateau=plateau)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3)
+    # the schedule must actually have fired (at least one halving), and
+    # our final LR must equal torch's
+    assert trainer.current_learning_rate < LR * 0.9
+    import torch  # noqa: F401  (replica already imported it)
+    assert trainer.current_learning_rate == pytest.approx(
+        _torch_final_plateau_lr(init_params, data, dims, latent, alpha,
+                                beta, n_epochs, batch_size, plateau),
+        rel=1e-6)
+
+
+def _torch_final_plateau_lr(params, data, dims, latent, alpha, beta,
+                            n_epochs, batch_size, plateau):
+    """Final optimizer LR of the torch replica run (re-run; cheap at
+    this scale)."""
+    import torch
+
+    modules, t_params = _torch_mlp_modules(params, dims, latent)
+    optim = torch.optim.Adam(t_params, lr=LR)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(optim, **plateau)
+    losses = _train_torch_mvtcae(params, data, dims, latent, alpha, beta,
+                                 n_epochs, batch_size, plateau=plateau)
+    for ls in losses:
+        sched.step(float(ls))
+    return optim.param_groups[0]["lr"]
 
 
 def test_mopoe_train_curve_matches_torch_replica(tmp_path):
