@@ -77,9 +77,14 @@ print("device-cached run best train loss:", trainer.best_train_loss)
 # ``pipeline_epochs=True`` (the default) defers each epoch's host-side
 # finalization so host round trips amortize across ``pipeline_depth``
 # epochs — logged values are bit-identical, only their timing shifts.
-# When nothing needs a per-epoch host decision (no eval set, no
-# best-model tracking, no LR scheduler), whole depth-sized epoch BLOCKS
-# additionally fuse into a single XLA launch.
+# When ``steps_per_execution`` covers the epoch, whole depth-sized
+# epoch BLOCKS additionally fuse into a single XLA launch — including
+# the eval pass, best-model tracking, deterministic LR schedules
+# (per-epoch LR vector shipped per block) and ReduceLROnPlateau (state
+# carried in-graph), so the full benchmark-protocol configuration
+# keeps one launch per ``pipeline_depth`` epochs. Only genuine host
+# decisions (model ``update`` hooks, custom epoch-end callbacks,
+# overridden step hooks) fall back to per-epoch dispatch.
 trainer = BaseTrainer(
     MVTCAE(model_cfg, seed=0), dataset,
     training_config=BaseTrainerConfig(

@@ -1448,12 +1448,22 @@ class BaseTrainer:
                     or e == last):
                 blocks.append(cur)
                 cur = []
+        resets = set(getattr(self.model, "reset_optimizer_epochs", [])
+                     or [])
         prev = None
         for block in blocks:
             for e in block:
                 self.best_train_loss, self.best_eval_loss = (
                     self.prepare_train_step(e, self.best_train_loss,
                                             self.best_eval_loss))
+            if block[0] in resets:
+                # A boundary optimizer reset (MultistageTrainer) swapped
+                # the TrainState and cleared best tracking: re-seed the
+                # donated in-graph carry from the fresh host state. The
+                # block builders were invalidated by the hook, so the
+                # new stage compiles its own block program.
+                if self._block_best_tracking:
+                    self._block_best = self._init_block_best_carry()
             payload = self._run_cached_train_epoch_block(block)
             # Display callbacks run their normal PER-EPOCH cycle (begin,
             # step ends) after the block dispatch — each progress bar
@@ -1697,9 +1707,18 @@ class BaseTrainer:
         if not getattr(self.training_config, "pipeline_epochs", True):
             return False
         cls = type(self)
-        if not (cls.prepare_train_step is BaseTrainer.prepare_train_step
-                and cls.train_step is BaseTrainer.train_step
+        if not (cls.train_step is BaseTrainer.train_step
                 and cls.eval_step is BaseTrainer.eval_step):
+            return False
+        bounds = self._prepare_boundaries_set()
+        if bounds is None:
+            # a subclass prepare_train_step with no declared boundary
+            # epochs is an arbitrary per-epoch host decision
+            return False
+        if bounds and self.scheduler is not None:
+            # boundary optimizer/scheduler resets re-seat the scheduler
+            # mid-run; the dispatch-time LR precompute doesn't model the
+            # restart offset — keep scheduler+multistage synchronous
             return False
         deferred_safe = (ProgressBarCallback, MetricConsolePrinterCallback)
         for cb in getattr(self.callback_handler, "callbacks", []):
@@ -1728,12 +1747,36 @@ class BaseTrainer:
                 and not self.scheduler.deterministic
                 and self._deferred_finalize_safe())
 
+    def _prepare_boundaries(self):
+        """Epochs at which ``prepare_train_step`` performs real work (a
+        stage flip or an optimizer reset). ``set()`` for the base no-op
+        hook; ``None`` when a subclass overrides the hook without
+        declaring its boundaries (which disables pipelining — the hook
+        could then be an arbitrary per-epoch host decision). The
+        MultistageTrainer overrides this with the STATIC boundary set
+        derived from the model's ``reset_optimizer_epochs`` /
+        ``stage_for_epoch``, which lets two-stage training ride the
+        pipelined and fused-block paths WITHIN each stage."""
+        if (type(self).prepare_train_step
+                is BaseTrainer.prepare_train_step):
+            return set()
+        return None
+
+    def _prepare_boundaries_set(self):
+        if not hasattr(self, "_pb_cache"):
+            self._pb_cache = self._prepare_boundaries()
+        return self._pb_cache
+
     def _epoch_needs_sync_finalize(self, epoch: int) -> bool:
         """Checkpoint and prediction epochs consume the CURRENT
         TrainState / model params on the host, so their finalization
-        cannot lag behind the device."""
+        cannot lag behind the device — as does the epoch preceding a
+        ``prepare_train_step`` boundary (the boundary's optimizer reset
+        reads ``best_params`` and checkpoints epoch-1's state)."""
         cfg = self.training_config
         if cfg.steps_saving is not None and epoch % cfg.steps_saving == 0:
+            return True
+        if (epoch + 1) in (self._prepare_boundaries_set() or ()):
             return True
         return (cfg.steps_predict is not None
                 and (epoch % cfg.steps_predict == 0 or epoch == 1))

@@ -30,6 +30,26 @@ class MultistageTrainer(BaseTrainer):
     def checktrainer(self, model):
         return
 
+    def _prepare_boundaries(self):
+        """The epochs where ``prepare_train_step`` does real work are
+        STATIC (the model's ``reset_optimizer_epochs`` list and the
+        ``stage_for_epoch`` flip points), so two-stage training rides
+        the pipelined / fused-block fast paths WITHIN each stage: the
+        base trainer breaks epoch blocks at these boundaries, forces a
+        synchronous finalize of the preceding epoch (the reset reads
+        ``best_params`` and checkpoints epoch-1), and rebuilds the
+        in-graph best carry after a reset. Stage flips only invalidate
+        compiled programs (one extra whole-model compile per stage —
+        the same count the synchronous loop pays for its chunk
+        programs)."""
+        model = self.model
+        bounds = set(getattr(model, "reset_optimizer_epochs", []) or [])
+        if hasattr(model, "stage_for_epoch"):
+            for e in range(2, self.training_config.num_epochs + 1):
+                if model.stage_for_epoch(e) != model.stage_for_epoch(e - 1):
+                    bounds.add(e)
+        return bounds
+
     def _invalidate_compiled(self):
         self._train_step_fn = None
         self._eval_step_fn = None

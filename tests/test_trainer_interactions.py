@@ -453,15 +453,18 @@ def test_microbatch_fused_blocks_square(tmp_path, tmp_path_factory, resume):
 
 
 # --------------------------------------------------- multistage squares
-# The MultistageTrainer's ``prepare_train_step`` hook auto-disables
-# pipelining, so multistage x cache runs the cached SYNCHRONOUS path;
-# the square isolates the stage boundary over a LIVE device cache: the
-# stage flip calls ``_invalidate_compiled()`` (the chunk programs are
-# rebuilt against the existing cache's shardings), the optimizer reset
-# restores best params mid-run, and the boundary checkpoint doubles as
-# the resume point. Reference semantics:
+# The MultistageTrainer's ``prepare_train_step`` boundaries are STATIC
+# (``_prepare_boundaries``: reset_optimizer_epochs + stage flips), so
+# multistage now rides the pipelined/fused paths WITHIN each stage
+# (r5); blocks break at the boundaries, the epoch before a boundary
+# finalizes synchronously (the reset reads best_params and checkpoints
+# epoch-1), the stage flip's ``_invalidate_compiled()`` forces a fresh
+# block program for stage 2, and the reset re-seeds the in-graph best
+# carry. The boundary checkpoint doubles as the resume point.
+# Reference semantics:
 # ``src/multivae/trainers/multistage/multistage_trainer.py:53-71``.
-def _run_multistage(tmp_path, tag, *, resume=False, **cfg_kw):
+def _run_multistage(tmp_path, tag, *, resume=False, expect_pipelined=None,
+                    **cfg_kw):
     from multivae_tpu.models import TELBO, TELBOConfig
     from multivae_tpu.trainers import (
         MultistageTrainer,
@@ -485,7 +488,11 @@ def _run_multistage(tmp_path, tag, *, resume=False, **cfg_kw):
             training_config=MultistageTrainerConfig(**cfg))
 
     trainer = build()
-    assert not trainer._pipeline_epochs_eligible()
+    if expect_pipelined is not None:
+        assert trainer._pipeline_epochs_eligible() is expect_pipelined
+        if expect_pipelined:
+            # TELBO warmup=3: reset at 3, stage flip at 4
+            assert trainer._prepare_boundaries_set() == {3, 4}
     trainer.train()
     # TELBO: reset_optimizer_epochs = [warmup] = [3], which saves the
     # pre-reset snapshot labelled epoch 2; stage 2 starts at epoch 4.
@@ -521,7 +528,37 @@ def test_multistage_cache_square(tmp_path, tmp_path_factory, resume):
                                           cache_on_device=False,
                                           pipeline_epochs=False)
     want = _BASELINES[key]
+    # depth-8 default: remaining 6 < 2*8, so this square exercises the
+    # PER-EPOCH pipelined path across the stage boundary
     got = _run_multistage(tmp_path, f"ms{resume}", resume=resume,
+                          expect_pipelined=True,
                           cache_on_device=True, steps_per_execution=100)
     assert got["trainer"]._train_cache is not None
+    _assert_equal_run(got, want, check_best=True)
+
+
+@pytest.mark.parametrize("resume", [False, True],
+                         ids=["straight", "resume"])
+def test_multistage_fused_blocks_square(tmp_path, tmp_path_factory, resume):
+    """Fused epoch BLOCKS across the TELBO stage boundary: blocks break
+    at the reset (3) and flip (4) epochs, stage 2 compiles its own
+    block program, and the reset re-seeds the in-graph best carry —
+    final and best params match the synchronous host-loader run."""
+    key = ("kind", "telbo_multistage")
+    if key not in _BASELINES:
+        base = tmp_path_factory.mktemp("baseline_telbo")
+        _BASELINES[key] = _run_multistage(base, "sync",
+                                          cache_on_device=False,
+                                          pipeline_epochs=False)
+    want = _BASELINES[key]
+    got = _run_multistage(tmp_path, f"msf{resume}", resume=resume,
+                          expect_pipelined=True,
+                          cache_on_device=True, steps_per_execution=100,
+                          pipeline_depth=2)
+    trainer = got["trainer"]
+    assert trainer._train_cache is not None
+    assert any(isinstance(k, tuple) and k[0] in ("block", "block_eval")
+               for k in trainer._cached_train_fns), (
+        "multistage run never took the fused-block path",
+        list(trainer._cached_train_fns))
     _assert_equal_run(got, want, check_best=True)
