@@ -217,6 +217,10 @@ class BaseTrainer:
         self._block_best = None  # fused-block in-graph (loss, params) carry
         self._sched_carry = None  # fused-block in-graph plateau LR state
         self._sched_in_graph = False
+        # Epoch at which the CURRENT scheduler instance started (0 for a
+        # fresh run; a MultistageTrainer optimizer reset re-seats it):
+        # deterministic dispatch-time LRs are lr_at(epoch-1-base).
+        self._sched_epoch_base = 0
         self.start_keep_best_epoch = getattr(model, "start_keep_best_epoch", 0)
 
         self._train_step_fn = None
@@ -1270,9 +1274,11 @@ class BaseTrainer:
                 # The block's per-epoch LR vector, computed with the
                 # same f64 host arithmetic the synchronous
                 # ``scheduler.step()`` path uses and cast f32 once —
-                # epoch e trains under lr_at(e-1).
+                # epoch e trains under lr_at(e-1-base), the base
+                # anchoring a scheduler re-seated by a multistage reset.
                 lr_arg = (np.asarray(
-                    [self.scheduler.lr_at(e - 1) for e in epochs],
+                    [self.scheduler.lr_at(e - 1 - self._sched_epoch_base)
+                     for e in epochs],
                     dtype=np.float32),)
             else:
                 # Plateau: the device-resident state carry threads
@@ -1459,11 +1465,17 @@ class BaseTrainer:
             if block[0] in resets:
                 # A boundary optimizer reset (MultistageTrainer) swapped
                 # the TrainState and cleared best tracking: re-seed the
-                # donated in-graph carry from the fresh host state. The
-                # block builders were invalidated by the hook, so the
-                # new stage compiles its own block program.
+                # donated in-graph carries from the fresh host state.
+                # The block builders were invalidated by the hook, so
+                # the new stage compiles its own block program.
                 if self._block_best_tracking:
                     self._block_best = self._init_block_best_carry()
+                if (self.scheduler is not None
+                        and not self.scheduler.deterministic):
+                    s = self.scheduler
+                    self._sched_carry = np.asarray(
+                        [s.current_lr, s.best, s.num_bad_epochs,
+                         s.cooldown_counter], dtype=np.float32)
             payload = self._run_cached_train_epoch_block(block)
             # Display callbacks run their normal PER-EPOCH cycle (begin,
             # step ends) after the block dispatch — each progress bar
@@ -1710,15 +1722,9 @@ class BaseTrainer:
         if not (cls.train_step is BaseTrainer.train_step
                 and cls.eval_step is BaseTrainer.eval_step):
             return False
-        bounds = self._prepare_boundaries_set()
-        if bounds is None:
+        if self._prepare_boundaries_set() is None:
             # a subclass prepare_train_step with no declared boundary
             # epochs is an arbitrary per-epoch host decision
-            return False
-        if bounds and self.scheduler is not None:
-            # boundary optimizer/scheduler resets re-seat the scheduler
-            # mid-run; the dispatch-time LR precompute doesn't model the
-            # restart offset — keep scheduler+multistage synchronous
             return False
         deferred_safe = (ProgressBarCallback, MetricConsolePrinterCallback)
         for cb in getattr(self.callback_handler, "callbacks", []):
@@ -1944,6 +1950,12 @@ class BaseTrainer:
 
         self._sched_in_graph = False
         if self.scheduler is not None:
+            # The scheduler's step count is RELATIVE to its creation (a
+            # resumed run restores last_epoch; a multistage reset
+            # re-seats it mid-run) — anchor the dispatch-time lr_at
+            # epoch offset accordingly. 0 for any fresh BaseTrainer run.
+            self._sched_epoch_base = (self.trained_epochs
+                                      - self.scheduler.last_epoch)
             # Align the injected LR with the scheduler's CURRENT value on
             # entry: torch applies a schedule's initial factor at
             # construction (LinearLR trains epoch 1 at
@@ -2004,9 +2016,12 @@ class BaseTrainer:
                 # arithmetic, cast f32 once here); the deferred
                 # finalize's replayed ``scheduler.step()`` then writes
                 # the SAME values, keeping checkpointed opt_state
-                # bit-identical to the synchronous path's.
+                # bit-identical to the synchronous path's. The epoch
+                # base anchors a scheduler re-seated mid-run
+                # (multistage reset).
                 set_learning_rate(self.state.opt_state,
-                                  self.scheduler.lr_at(epoch - 1))
+                                  self.scheduler.lr_at(
+                                      epoch - 1 - self._sched_epoch_base))
 
             # Skip the per-epoch params-snapshot launch when nothing can
             # consume it (no best-model tracking, no update hook); the

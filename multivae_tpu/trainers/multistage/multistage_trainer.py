@@ -90,6 +90,10 @@ class MultistageTrainer(BaseTrainer):
                 self.training_config.learning_rate,
                 self.training_config.scheduler_params,
             )
+            # the fresh scheduler's step count restarts here: anchor the
+            # dispatch-time lr_at offset (pipelined/fused paths) and
+            # reset the injected LR the way the fresh opt_state does
+            self._sched_epoch_base = epoch - 1
             self.state = TrainState(
                 params=params,
                 opt_state=self.optimizer.init(params),

@@ -537,6 +537,45 @@ def test_multistage_cache_square(tmp_path, tmp_path_factory, resume):
     _assert_equal_run(got, want, check_best=True)
 
 
+@pytest.mark.parametrize("sched", [
+    ("StepLR", {"step_size": 2, "gamma": 0.5}),
+    ("ReduceLROnPlateau", {"patience": 0, "threshold": 0.9, "factor": 0.5}),
+], ids=["steplr", "plateau"])
+def test_multistage_scheduler_fused_square(tmp_path, tmp_path_factory,
+                                           sched):
+    """Multistage x LR scheduler on the fused paths — the REFERENCE'S
+    OWN two-stage benchmark shape (JNF/TELBO trained by
+    MultistageTrainer with ReduceLROnPlateau,
+    ``examples/case_studies/benchmarking_on_partial_polymnist/jnf.py`` +
+    ``global_config.py:64-65``). The boundary optimizer reset re-seats
+    the scheduler mid-run: deterministic schedules re-anchor the
+    dispatch-time ``lr_at`` offset (``_sched_epoch_base``), plateau
+    re-seeds its in-graph carry from the fresh host state."""
+    cls, params = sched
+    key = ("kind", "telbo_multistage", cls)
+    if key not in _BASELINES:
+        base = tmp_path_factory.mktemp("baseline_telbo_sched")
+        _BASELINES[key] = _run_multistage(
+            base, "sync", cache_on_device=False, pipeline_epochs=False,
+            scheduler_cls=cls, scheduler_params=dict(params))
+    want = _BASELINES[key]
+    got = _run_multistage(tmp_path, f"mss_{cls}",
+                          expect_pipelined=(cls == "StepLR"),
+                          cache_on_device=True, steps_per_execution=100,
+                          pipeline_depth=2,
+                          scheduler_cls=cls, scheduler_params=dict(params))
+    trainer = got["trainer"]
+    assert any(isinstance(k, tuple) and k[0] in ("block", "block_eval")
+               for k in trainer._cached_train_fns), (
+        list(trainer._cached_train_fns))
+    # the post-reset scheduler restarted: host bookkeeping matches sync
+    ws = want["trainer"].scheduler
+    assert trainer.scheduler.last_epoch == ws.last_epoch
+    assert trainer.current_learning_rate == pytest.approx(
+        want["trainer"].current_learning_rate, rel=1e-7)
+    _assert_equal_run(got, want, check_best=True)
+
+
 @pytest.mark.parametrize("resume", [False, True],
                          ids=["straight", "resume"])
 def test_multistage_fused_blocks_square(tmp_path, tmp_path_factory, resume):
