@@ -87,8 +87,11 @@ class BaseTrainerConfig(BaseConfig):
             bit-identical to the host loader's (the per-epoch shuffle
             stays the same seeded host permutation). Falls back to the
             host loader automatically (with a logged reason) when the
-            dataset exceeds ``device_cache_budget_gb``, under multi-host
-            training, or when the dataset doesn't support bulk indexing.
+            dataset exceeds ``device_cache_budget_gb`` or doesn't
+            support bulk indexing. Works under multi-host training too:
+            each process materializes and uploads only its LOCAL shard
+            of the global array (sharded layout), or the full dataset
+            (replicated).
             TPU-native extension, off by default.
         device_cache_budget_gb: per-device HBM budget for the dataset
             cache (train + eval combined must fit).
@@ -118,10 +121,16 @@ class BaseTrainerConfig(BaseConfig):
             but arrive deferred (in order, in bursts at flush time),
             and a NaN loss surfaces up to ``pipeline_depth`` epochs of
             device work late. Checkpoint/prediction epochs and the
-            last epoch always flush synchronously. Automatically
-            disabled when an LR scheduler is set, when a subclass
-            overrides the epoch hooks (both need epoch N's losses
-            before epoch N+1 runs), or when any non-display callback
+            last epoch always flush synchronously. LR schedulers stay
+            eligible: deterministic schedules set each epoch's LR at
+            dispatch time, and ReduceLROnPlateau rides the fused epoch
+            blocks with its state carried in-graph (it cannot pipeline
+            per-epoch dispatch, so it falls back to the synchronous
+            loop when blocks are ineligible). Automatically disabled
+            when a subclass overrides the step hooks or
+            ``prepare_train_step`` without declaring its boundary
+            epochs (the MultistageTrainer declares them and stays
+            eligible), or when any non-display callback
             overrides ``on_epoch_end`` (a deferred hook would observe
             a later epoch's trainer state). TPU-native extension, on
             by default.
