@@ -576,6 +576,27 @@ def test_multistage_scheduler_fused_square(tmp_path, tmp_path_factory,
     _assert_equal_run(got, want, check_best=True)
 
 
+def test_multistage_fused_orbax_square(tmp_path, tmp_path_factory):
+    """Multistage x fused blocks x orbax: the stage-boundary checkpoint
+    (saved by ``prepare_train_step`` at the reset) and the resume both
+    go through the sharded-TrainState backend while the epochs around
+    the boundary run as fused blocks."""
+    key = ("kind", "telbo_multistage")
+    if key not in _BASELINES:
+        base = tmp_path_factory.mktemp("baseline_telbo")
+        _BASELINES[key] = _run_multistage(base, "sync",
+                                          cache_on_device=False,
+                                          pipeline_epochs=False)
+    want = _BASELINES[key]
+    got = _run_multistage(tmp_path, "ms_orbax", resume=True,
+                          expect_pipelined=True,
+                          cache_on_device=True, steps_per_execution=100,
+                          pipeline_depth=2, checkpoint_backend="orbax")
+    assert any(isinstance(k, tuple) and k[0] in ("block", "block_eval")
+               for k in got["trainer"]._cached_train_fns)
+    _assert_equal_run(got, want, check_best=True)
+
+
 @pytest.mark.parametrize("resume", [False, True],
                          ids=["straight", "resume"])
 def test_multistage_fused_blocks_square(tmp_path, tmp_path_factory, resume):
