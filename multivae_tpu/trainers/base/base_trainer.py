@@ -675,6 +675,7 @@ class BaseTrainer:
         patience = float(s.patience)
         cooldown_cfg = float(s.cooldown)
         min_lr = float(s.min_lr)
+        eps = float(getattr(s, "eps", 1e-8))
 
         def update(sched, metric):
             lr, best, bad, cool = sched[0], sched[1], sched[2], sched[3]
@@ -699,9 +700,11 @@ class BaseTrainer:
                                         jnp.where(trigger,
                                                   jnp.float32(cooldown_cfg),
                                                   cool)))
-            lr2 = jnp.where(trigger,
-                            jnp.maximum(lr * factor, jnp.float32(min_lr)),
-                            lr)
+            new_lr = jnp.maximum(lr * factor, jnp.float32(min_lr))
+            # torch ignores a reduction whose delta is <= eps
+            # (counters still reset)
+            apply_lr = jnp.logical_and(trigger, (lr - new_lr) > eps)
+            lr2 = jnp.where(apply_lr, new_lr, lr)
             return jnp.stack([lr2, best2, bad2, cool2])
 
         return update

@@ -204,7 +204,8 @@ class ReduceLROnPlateau(LRScheduler):
     def __init__(self, base_lr, mode: str = "min", factor: float = 0.1,
                  patience: int = 10, threshold: float = 1e-4,
                  threshold_mode: str = "rel", cooldown: int = 0,
-                 min_lr: float = 0.0, verbose: bool = False):
+                 min_lr: float = 0.0, eps: float = 1e-8,
+                 verbose: bool = False):
         super().__init__(base_lr)
         if mode not in ("min", "max"):
             raise TypeError(f"mode must be 'min' or 'max', got {mode}")
@@ -215,6 +216,9 @@ class ReduceLROnPlateau(LRScheduler):
         self.threshold_mode = threshold_mode
         self.cooldown = cooldown
         self.min_lr = min_lr
+        # torch semantics: a triggered reduction is IGNORED when the lr
+        # delta is <= eps (torch.optim.lr_scheduler._reduce_lr)
+        self.eps = eps
         self.best = math.inf if mode == "min" else -math.inf
         self.num_bad_epochs = 0
         self.cooldown_counter = 0
@@ -242,7 +246,9 @@ class ReduceLROnPlateau(LRScheduler):
             if self.num_bad_epochs > self.patience:
                 self.num_bad_epochs = 0
                 self.cooldown_counter = self.cooldown
-                return max(self.current_lr * self.factor, self.min_lr)
+                new_lr = max(self.current_lr * self.factor, self.min_lr)
+                if self.current_lr - new_lr > self.eps:
+                    return new_lr
         return self.current_lr
 
     def state_dict(self):

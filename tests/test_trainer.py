@@ -1078,6 +1078,25 @@ def test_lr_at_matches_stateful_sequence():
     assert not plateau.deterministic
 
 
+def test_plateau_eps_ignores_tiny_reductions():
+    """torch semantics: a triggered reduction whose LR delta is <= eps
+    is skipped (counters still reset) — torch.optim.lr_scheduler
+    ``_reduce_lr``."""
+    from multivae_tpu.trainers.base.optim import make_scheduler
+
+    s = make_scheduler("ReduceLROnPlateau", 1e-3,
+                       {"patience": 0, "threshold": 0.5, "factor": 0.5,
+                        "eps": 1.0})
+    assert s.step(10.0) == 1e-3   # first metric: best=10, no drop
+    # not better, patience exceeded -> trigger, but delta 5e-4 <= eps=1
+    assert s.step(10.0) == 1e-3
+    assert s.num_bad_epochs == 0  # counters reset despite skipped lr
+    s2 = make_scheduler("ReduceLROnPlateau", 1e-3,
+                        {"patience": 0, "threshold": 0.5, "factor": 0.5})
+    s2.step(10.0)
+    assert s2.step(10.0) == pytest.approx(5e-4)  # default eps applies
+
+
 def test_pipeline_checkpoint_epochs_flush_synchronously(dataset, tmp_path):
     """steps_saving epochs must checkpoint the CURRENT epoch's state even
     under pipelining; resume from the checkpoint must match."""
