@@ -34,8 +34,11 @@ class BaseTrainerConfig(BaseConfig):
         optimizer_params: extra optimizer kwargs (torch names accepted,
             e.g. ``betas``).
         scheduler_cls: LR scheduler by torch-style name (StepLR,
-            MultiStepLR, ExponentialLR, LinearLR, CosineAnnealingLR,
-            ReduceLROnPlateau) or None.
+            MultiStepLR, ExponentialLR, LinearLR, ConstantLR,
+            PolynomialLR, CosineAnnealingLR,
+            CosineAnnealingWarmRestarts, ReduceLROnPlateau) or None;
+            trajectories match torch's schedulers value-for-value
+            (``test_deterministic_scheduler_values_match_torch``).
         scheduler_params: scheduler kwargs.
         learning_rate: base learning rate.
         steps_saving: checkpoint every N epochs (None = never).

@@ -195,6 +195,68 @@ class CosineAnnealingLR(LRScheduler):
         ) / 2
 
 
+class ConstantLR(LRScheduler):
+    """torch.optim.lr_scheduler.ConstantLR: base_lr * factor until
+    ``total_iters`` epochs have passed, then base_lr."""
+
+    def __init__(self, base_lr, factor: float = 1.0 / 3,
+                 total_iters: int = 5):
+        super().__init__(base_lr)
+        self.factor = factor
+        self.total_iters = total_iters
+        self.current_lr = base_lr * factor
+
+    def _compute_lr(self, metric):
+        if self.last_epoch < self.total_iters:
+            return self.base_lr * self.factor
+        return self.base_lr
+
+
+class PolynomialLR(LRScheduler):
+    """torch.optim.lr_scheduler.PolynomialLR (closed form): base_lr *
+    (1 - min(e, total_iters)/total_iters) ** power."""
+
+    def __init__(self, base_lr, total_iters: int = 5, power: float = 1.0):
+        super().__init__(base_lr)
+        self.total_iters = total_iters
+        self.power = power
+
+    def _compute_lr(self, metric):
+        t = min(self.last_epoch, self.total_iters) / self.total_iters
+        return self.base_lr * (1.0 - t) ** self.power
+
+
+class CosineAnnealingWarmRestarts(LRScheduler):
+    """torch.optim.lr_scheduler.CosineAnnealingWarmRestarts (closed
+    form): cosine annealing restarting every ``T_0 * T_mult**n``
+    epochs."""
+
+    def __init__(self, base_lr, T_0: int, T_mult: int = 1,
+                 eta_min: float = 0.0):
+        super().__init__(base_lr)
+        if T_0 <= 0 or not isinstance(T_0, int):
+            raise TypeError(f"Expected positive integer T_0, but got {T_0}")
+        if T_mult < 1 or not isinstance(T_mult, int):
+            raise TypeError(f"Expected integer T_mult >= 1, but got {T_mult}")
+        self.T_0 = T_0
+        self.T_mult = T_mult
+        self.eta_min = eta_min
+
+    def _compute_lr(self, metric):
+        e = self.last_epoch
+        if self.T_mult == 1:
+            t_cur = e % self.T_0
+            t_i = self.T_0
+        else:
+            n = int(math.log(e / self.T_0 * (self.T_mult - 1) + 1,
+                             self.T_mult)) if e >= self.T_0 else 0
+            t_i = self.T_0 * self.T_mult ** n
+            t_cur = e - self.T_0 * (self.T_mult ** n - 1) // (self.T_mult - 1)
+        return self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * t_cur / t_i)
+        ) / 2
+
+
 class ReduceLROnPlateau(LRScheduler):
     """Torch-semantics plateau scheduler (the reference's default choice for
     the PolyMNIST benchmark, ``global_config.py``)."""
@@ -269,7 +331,10 @@ _SCHEDULERS = {
     "MultiStepLR": MultiStepLR,
     "ExponentialLR": ExponentialLR,
     "LinearLR": LinearLR,
+    "ConstantLR": ConstantLR,
+    "PolynomialLR": PolynomialLR,
     "CosineAnnealingLR": CosineAnnealingLR,
+    "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
     "ReduceLROnPlateau": ReduceLROnPlateau,
 }
 

@@ -1062,7 +1062,10 @@ def test_lr_at_matches_stateful_sequence():
         ("MultiStepLR", {"milestones": [2, 5], "gamma": 0.1}),
         ("ExponentialLR", {"gamma": 0.9}),
         ("LinearLR", {"start_factor": 0.25, "total_iters": 4}),
+        ("ConstantLR", {"factor": 0.5, "total_iters": 3}),
+        ("PolynomialLR", {"total_iters": 6, "power": 2.0}),
         ("CosineAnnealingLR", {"T_max": 7}),
+        ("CosineAnnealingWarmRestarts", {"T_0": 3, "T_mult": 2}),
     ]
     for name, params in specs:
         stateful = make_scheduler(name, 1e-3, params)
@@ -1076,6 +1079,39 @@ def test_lr_at_matches_stateful_sequence():
         assert pure.last_epoch == 0 and pure.current_lr == pure.lr_at(0)
     plateau = make_scheduler("ReduceLROnPlateau", 1e-3, {"patience": 1})
     assert not plateau.deterministic
+
+
+def test_deterministic_scheduler_values_match_torch():
+    """Every deterministic schedule's LR trajectory — including the
+    construction-time initial LR — must equal torch's own scheduler of
+    the same name (the reference passes ``scheduler_cls`` straight to
+    ``torch.optim.lr_scheduler``, ``base_trainer_config.py:128-135``)."""
+    import torch
+
+    from multivae_tpu.trainers.base.optim import make_scheduler
+
+    specs = [
+        ("StepLR", {"step_size": 2, "gamma": 0.5}),
+        ("MultiStepLR", {"milestones": [2, 5], "gamma": 0.1}),
+        ("ExponentialLR", {"gamma": 0.9}),
+        ("LinearLR", {"start_factor": 0.25, "total_iters": 4}),
+        ("ConstantLR", {"factor": 0.5, "total_iters": 3}),
+        ("PolynomialLR", {"total_iters": 6, "power": 2.0}),
+        ("CosineAnnealingLR", {"T_max": 7, "eta_min": 1e-5}),
+        ("CosineAnnealingWarmRestarts", {"T_0": 3, "T_mult": 2,
+                                         "eta_min": 1e-5}),
+    ]
+    for name, params in specs:
+        ours = make_scheduler(name, 1e-3, params)
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1e-3)
+        theirs = getattr(torch.optim.lr_scheduler, name)(opt, **params)
+        assert ours.current_lr == pytest.approx(
+            opt.param_groups[0]["lr"], rel=1e-12), (name, "init")
+        for k in range(1, 13):
+            stepped = ours.step()
+            theirs.step()
+            assert stepped == pytest.approx(
+                opt.param_groups[0]["lr"], rel=1e-9), (name, k)
 
 
 def test_plateau_eps_ignores_tiny_reductions():
