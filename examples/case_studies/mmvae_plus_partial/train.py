@@ -116,6 +116,11 @@ def build_trainer_config(args, **overrides):
         steps_predict=5,
         scheduler_cls="ReduceLROnPlateau",
         scheduler_params={"patience": 30},
+        # 25 scan-fused steps per dispatch: at this workload's ~532
+        # ms/step the dispatch overhead is already <0.01%, so
+        # whole-epoch block fusion (steps_per_execution >= n_batches)
+        # would only delay NaN surfacing — unlike the MLP-scale
+        # partial_polymnist protocol, which fuses whole epochs.
         cache_on_device=True,
         steps_per_execution=25,
     )
