@@ -678,6 +678,8 @@ class BaseTrainer:
         eps = float(getattr(s, "eps", 1e-8))
 
         def update(sched, metric):
+            # Exact mirror of the host _compute_lr (torch step):
+            # better/cooldown updates are INDEPENDENT, then patience.
             lr, best, bad, cool = sched[0], sched[1], sched[2], sched[3]
             if is_min:
                 better = (metric < best * (1.0 - th) if rel
@@ -685,27 +687,20 @@ class BaseTrainer:
             else:
                 better = (metric > best * (1.0 + th) if rel
                           else metric > best + th)
-            in_cool = cool > 0.0
-            bad_else = bad + 1.0
-            trigger = jnp.logical_and(
-                jnp.logical_not(better),
-                jnp.logical_and(jnp.logical_not(in_cool),
-                                bad_else > patience))
             best2 = jnp.where(better, metric, best)
-            bad2 = jnp.where(better, 0.0,
-                             jnp.where(in_cool, 0.0,
-                                       jnp.where(trigger, 0.0, bad_else)))
-            cool2 = jnp.where(better, cool,
-                              jnp.where(in_cool, cool - 1.0,
-                                        jnp.where(trigger,
-                                                  jnp.float32(cooldown_cfg),
-                                                  cool)))
+            bad1 = jnp.where(better, 0.0, bad + 1.0)
+            in_cool = cool > 0.0
+            bad2 = jnp.where(in_cool, 0.0, bad1)
+            cool1 = jnp.where(in_cool, cool - 1.0, cool)
+            trigger = bad2 > patience
+            bad3 = jnp.where(trigger, 0.0, bad2)
+            cool2 = jnp.where(trigger, jnp.float32(cooldown_cfg), cool1)
             new_lr = jnp.maximum(lr * factor, jnp.float32(min_lr))
             # torch ignores a reduction whose delta is <= eps
             # (counters still reset)
             apply_lr = jnp.logical_and(trigger, (lr - new_lr) > eps)
             lr2 = jnp.where(apply_lr, new_lr, lr)
-            return jnp.stack([lr2, best2, bad2, cool2])
+            return jnp.stack([lr2, best2, bad3, cool2])
 
         return update
 
@@ -1298,11 +1293,18 @@ class BaseTrainer:
             # table (epoch e -> row e-1); the block slices its rows
             ekey_data = self._plan_cache.get("eval_keys")
             if ekey_data is None:
+                # ONE dispatch + ONE fetch for the whole-run key table:
+                # a per-epoch eager jax.random.key + key_data fetch
+                # would cost num_epochs serialized tunnel round trips
+                # (vmapped key construction is bit-identical to the
+                # scalar calls — pure seed bit-packing)
                 seed = self.training_config.seed
-                ekey_data = self._cache_put(np.stack([
-                    np.asarray(jax.random.key_data(
-                        jax.random.key(seed + 1000 + e)))
-                    for e in range(1, self.training_config.num_epochs + 1)]))
+                seeds = np.arange(1, self.training_config.num_epochs + 1,
+                                  dtype=np.int64) + (1000 + seed)
+                table = np.asarray(jax.jit(
+                    lambda s: jax.random.key_data(
+                        jax.vmap(jax.random.key)(s)))(seeds))
+                ekey_data = self._cache_put(table)
                 self._plan_cache["eval_keys"] = ekey_data
             fn = self._compiled_cached_train_eval_block(len(epochs))
             out = fn(
@@ -1445,10 +1447,7 @@ class BaseTrainer:
             # device-to-device block-to-block; fresh/resumed host state
             # seeds it (scheduler.json restores exactly the f32 values
             # a previous run's carry held).
-            s = self.scheduler
-            self._sched_carry = np.asarray(
-                [s.current_lr, s.best, s.num_bad_epochs,
-                 s.cooldown_counter], dtype=np.float32)
+            self._seed_sched_carry()
             self._sched_in_graph = True
         blocks, cur = [], []
         for e in range(self.trained_epochs + 1, last + 1):
@@ -1475,10 +1474,7 @@ class BaseTrainer:
                     self._block_best = self._init_block_best_carry()
                 if (self.scheduler is not None
                         and not self.scheduler.deterministic):
-                    s = self.scheduler
-                    self._sched_carry = np.asarray(
-                        [s.current_lr, s.best, s.num_bad_epochs,
-                         s.cooldown_counter], dtype=np.float32)
+                    self._seed_sched_carry()
             payload = self._run_cached_train_epoch_block(block)
             # Display callbacks run their normal PER-EPOCH cycle (begin,
             # step ends) after the block dispatch — each progress bar
@@ -1669,6 +1665,15 @@ class BaseTrainer:
             return
         new_lr = self.scheduler.step(metric)
         set_learning_rate(self.state.opt_state, new_lr)
+
+    def _seed_sched_carry(self):
+        """(Re)build the fused-block plateau carry from the host
+        scheduler state — at loop entry (fresh/resumed scheduler) and
+        after a multistage boundary reset re-seats it."""
+        s = self.scheduler
+        self._sched_carry = np.asarray(
+            [s.current_lr, s.best, s.num_bad_epochs, s.cooldown_counter],
+            dtype=np.float32)
 
     def _adopt_sched_carry(self):
         """Fetch the fused-block plateau carry and write it into the

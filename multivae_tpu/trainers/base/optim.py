@@ -295,22 +295,26 @@ class ReduceLROnPlateau(LRScheduler):
         return metric > self.best + self.threshold
 
     def _compute_lr(self, metric):
+        # Exact mirror of torch.optim.lr_scheduler.ReduceLROnPlateau.step:
+        # better/cooldown are INDEPENDENT updates (the cooldown counter
+        # decrements every in-cooldown epoch, improving or not), then the
+        # patience check fires on the resulting bad-epoch count.
         if metric is None:
             return self.current_lr
         if self._is_better(metric):
             self.best = metric
             self.num_bad_epochs = 0
-        elif self.cooldown_counter > 0:
-            self.cooldown_counter -= 1
-            self.num_bad_epochs = 0
         else:
             self.num_bad_epochs += 1
-            if self.num_bad_epochs > self.patience:
-                self.num_bad_epochs = 0
-                self.cooldown_counter = self.cooldown
-                new_lr = max(self.current_lr * self.factor, self.min_lr)
-                if self.current_lr - new_lr > self.eps:
-                    return new_lr
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            self.num_bad_epochs = 0
+            self.cooldown_counter = self.cooldown
+            new_lr = max(self.current_lr * self.factor, self.min_lr)
+            if self.current_lr - new_lr > self.eps:
+                return new_lr
         return self.current_lr
 
     def state_dict(self):

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..base.base_trainer import BaseTrainer, TrainState
-from ..base.optim import make_optimizer, make_scheduler
+from ..base.optim import make_optimizer, make_scheduler, set_learning_rate
 
 logger = logging.getLogger(__name__)
 logger.setLevel(logging.INFO)
@@ -100,6 +100,15 @@ class MultistageTrainer(BaseTrainer):
                 rng=self.state.rng,
                 step=self.state.step,
             )
+            if self.scheduler is not None:
+                # torch applies a schedule's initial factor at scheduler
+                # CONSTRUCTION (LinearLR/ConstantLR start below base_lr)
+                # — align the fresh opt_state's injected LR the same way
+                # train() does on entry, so the synchronous loop and the
+                # dispatch-time lr_at paths train the first post-reset
+                # epoch under the same LR.
+                set_learning_rate(self.state.opt_state,
+                                  self.scheduler.current_lr)
             self._best_params = None
             best_train_loss = 1e12
             best_eval_loss = 1e12

@@ -1114,6 +1114,37 @@ def test_deterministic_scheduler_values_match_torch():
                 opt.param_groups[0]["lr"], rel=1e-9), (name, k)
 
 
+def test_plateau_sequence_matches_torch_including_cooldown():
+    """Host ReduceLROnPlateau vs torch's, over metric sequences that
+    exercise improvement DURING cooldown (torch decrements the cooldown
+    counter every in-cooldown epoch, improving or not — the better and
+    cooldown updates are independent, not an elif chain)."""
+    import torch
+
+    from multivae_tpu.trainers.base.optim import make_scheduler
+
+    params = {"patience": 1, "threshold": 0.1, "factor": 0.5,
+              "cooldown": 3}
+    # plateau -> drop -> improve during cooldown -> plateau again:
+    # with torch semantics the cooldown expires DURING the improving
+    # epochs, so the second plateau reduces promptly
+    metrics = [10.0, 10.0, 10.0, 10.0,   # trigger a drop
+               5.0, 2.0, 1.0,            # improving through cooldown
+               1.0, 1.0, 1.0, 1.0, 1.0]  # second plateau
+    ours = make_scheduler("ReduceLROnPlateau", 1e-3, params)
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1e-3)
+    theirs = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, **params)
+    for i, m in enumerate(metrics):
+        stepped = ours.step(m)
+        theirs.step(m)
+        assert stepped == pytest.approx(opt.param_groups[0]["lr"],
+                                        rel=1e-12), (i, m)
+        assert ours.num_bad_epochs == theirs.num_bad_epochs, (i, m)
+        assert ours.cooldown_counter == theirs.cooldown_counter, (i, m)
+    # both LR drops must actually have happened
+    assert ours.current_lr == pytest.approx(2.5e-4)
+
+
 def test_plateau_eps_ignores_tiny_reductions():
     """torch semantics: a triggered reduction whose LR delta is <= eps
     is skipped (counters still reset) — torch.optim.lr_scheduler

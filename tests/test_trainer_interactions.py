@@ -539,8 +539,13 @@ def test_multistage_cache_square(tmp_path, tmp_path_factory, resume):
 
 @pytest.mark.parametrize("sched", [
     ("StepLR", {"step_size": 2, "gamma": 0.5}),
-    ("ReduceLROnPlateau", {"patience": 0, "threshold": 0.9, "factor": 0.5}),
-], ids=["steplr", "plateau"])
+    # LinearLR's initial LR != base_lr: pins that the boundary reset
+    # aligns the fresh opt_state's injected LR with the fresh
+    # scheduler's construction-time value on BOTH paths
+    ("LinearLR", {"start_factor": 0.5, "total_iters": 2}),
+    ("ReduceLROnPlateau", {"patience": 0, "threshold": 0.9, "factor": 0.5,
+                           "cooldown": 1}),
+], ids=["steplr", "linearlr", "plateau"])
 def test_multistage_scheduler_fused_square(tmp_path, tmp_path_factory,
                                            sched):
     """Multistage x LR scheduler on the fused paths — the REFERENCE'S
@@ -560,7 +565,7 @@ def test_multistage_scheduler_fused_square(tmp_path, tmp_path_factory,
             scheduler_cls=cls, scheduler_params=dict(params))
     want = _BASELINES[key]
     got = _run_multistage(tmp_path, f"mss_{cls}",
-                          expect_pipelined=(cls == "StepLR"),
+                          expect_pipelined=(cls != "ReduceLROnPlateau"),
                           cache_on_device=True, steps_per_execution=100,
                           pipeline_depth=2,
                           scheduler_cls=cls, scheduler_params=dict(params))
